@@ -1,0 +1,117 @@
+"""DPM-Solver++ multistep sampler, compiled as one XLA program.
+
+Parity: ``DPM_Solver`` with algorithm_type='dpmsolver++' (data prediction),
+method='multistep', skip_type='time_uniform' — the configuration the
+reference drives (model3.py:1149-1159: 40 steps, order 2;
+sampler/dpm_solver.py:796-852 second-order multistep update, :1195-1213
+driver with lower_order_final only for steps < 10).
+
+The reference's per-step python list juggling becomes an unrolled head +
+homogeneous ``lax.scan`` interior + unrolled tail: static shapes, one
+compiled program, ~steps model evaluations total.
+
+The model callback is an x0 predictor called with the reference's discrete
+time mapping t_discrete = t * N - 1 (dpm_solver.py:251-255 via
+model_wrapper's get_model_input_time).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diff_vits_tpu.diffusion.noise_schedule import NoiseScheduleVP
+
+
+def time_steps_uniform(ns: NoiseScheduleVP, steps: int):
+    t_0 = 1.0 / ns.total_N
+    t_T = ns.T
+    return jnp.asarray(np.linspace(t_T, t_0, steps + 1), jnp.float32)
+
+
+def sample_dpmpp(
+    x0_fn: Callable,
+    noise_schedule: NoiseScheduleVP,
+    x: jnp.ndarray,
+    steps: int = 20,
+    order: int = 2,
+    lower_order_final: bool = True,
+) -> jnp.ndarray:
+    """DPM-Solver++ (multistep) from x ~ N(0, I) at t = T.
+
+    Args:
+      x0_fn: ``(x, t_discrete[B]) -> x0`` prediction (the diffusion model).
+      steps: number of model evaluations.
+      order: 1 or 2.
+    """
+    ns = noise_schedule
+    ts = time_steps_uniform(ns, steps)
+    lam = ns.marginal_lambda(ts)
+    sig = ns.marginal_std(ts)
+    alp = jnp.exp(ns.marginal_log_mean_coeff(ts))
+    b = x.shape[0]
+
+    def eval_model(x, i):
+        td = jnp.full((b,), ts[i] * ns.total_N - 1.0, jnp.float32)
+        return x0_fn(x, td)
+
+    def update1(x, m0, i):
+        """First-order arrival at ts[i+1] (dpm_solver.py:583-600)."""
+        h = lam[i + 1] - lam[i]
+        phi_1 = jnp.expm1(-h)
+        return sig[i + 1] / sig[i] * x - alp[i + 1] * phi_1 * m0
+
+    def update2(x, m0, m1, i):
+        """Second-order multistep arrival at ts[i+1] using models at ts[i]
+        (m0) and ts[i-1] (m1). Parity: dpm_solver.py:796-830 ('dpmsolver'
+        flavor, the default solver_type)."""
+        h = lam[i + 1] - lam[i]
+        h_0 = lam[i] - lam[i - 1]
+        r0 = h_0 / h
+        D1_0 = (m0 - m1) / r0
+        phi_1 = jnp.expm1(-h)
+        return (sig[i + 1] / sig[i] * x
+                - alp[i + 1] * phi_1 * m0
+                - 0.5 * alp[i + 1] * phi_1 * D1_0)
+
+    assert steps >= order >= 1
+    m1 = eval_model(x, 0)
+
+    if order == 1:
+        x = update1(x, m1, 0)
+        if steps > 1:
+            def body(carry, i):
+                x = carry
+                m = eval_model(x, i)
+                x = update1(x, m, i)
+                return x, None
+            x, _ = jax.lax.scan(body, x,
+                                jnp.arange(1, steps, dtype=jnp.int32))
+        return x
+
+    # order 2
+    x = update1(x, m1, 0)
+    m0 = eval_model(x, 1)
+    final_order = 1 if (lower_order_final and steps < 10) else 2
+
+    if steps == 2:
+        if final_order == 1:
+            return update1(x, m0, 1)
+        return update2(x, m0, m1, 1)
+
+    # interior arrivals ts[2..steps-1], all order 2
+    def body(carry, i):
+        x, m0, m1 = carry
+        x = update2(x, m0, m1, i - 1)
+        m_new = eval_model(x, i)
+        return (x, m_new, m0), None
+
+    (x, m0, m1), _ = jax.lax.scan(
+        body, (x, m0, m1), jnp.arange(2, steps, dtype=jnp.int32))
+
+    # final arrival at ts[steps]
+    if final_order == 1:
+        return update1(x, m0, steps - 1)
+    return update2(x, m0, m1, steps - 1)

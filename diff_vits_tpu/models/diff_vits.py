@@ -1,0 +1,169 @@
+"""Top-level zero-shot TTS model: VITS prior + conditional diffusion decoder.
+
+Parity: ``NaturalSpeech2`` (model3.py:954-1255): DDPM buffers, q_sample
+forward-noising, x0-prediction training objective with SNR loss weights and
+the 40x diffusion loss weight (model3.py:1252), plus the sampling entry
+points (DDPM / DDIM / DPM-Solver++ / UniPC) that share the VITS.infer
+content path (model3.py:1121-1203).
+
+The module is pure: all randomness comes in through explicit keys, the
+refer1/refer2 coin flip (model3.py:1231-1234) is taken by the caller (the
+Trainer) so batch shapes stay static, and the MAS noise scale is an input
+(the reference threads it through a module-global ``step``,
+model3.py:1214-1220).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diff_vits_tpu.core import masking
+from diff_vits_tpu.core.config import Config
+from diff_vits_tpu.diffusion.noise_schedule import NoiseScheduleVP
+from diff_vits_tpu.diffusion.schedule import GaussianDiffusion
+from diff_vits_tpu.diffusion.dpm_solver import sample_dpmpp
+from diff_vits_tpu.diffusion.uni_pc import sample_unipc
+from diff_vits_tpu.models.diffusion_encoder import DiffusionEncoder
+from diff_vits_tpu.models.vits import VITS
+
+
+class DiffVits(nn.Module):
+    cfg: Config
+    n_vocab: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.vits = VITS(self.n_vocab, self.cfg.vits, dtype=self.dtype)
+        self.diff_model = DiffusionEncoder(self.cfg.diffusion_encoder,
+                                           dtype=self.dtype)
+
+    # -- single denoiser call (used by the samplers through apply) ---------
+
+    def denoise(self, x, t, cond, refer, lengths, refer_lengths, *,
+                deterministic: bool = True):
+        return self.diff_model(x, t, cond, refer, lengths, refer_lengths,
+                               deterministic=deterministic)
+
+    def vits_infer(self, text, text_lengths, refer, refer_lengths, tone,
+                   language, *, noise_key, noise_scale=0.667,
+                   length_scale=1.0, max_len=None,
+                   deterministic: bool = True):
+        return self.vits.infer(text, text_lengths, refer, refer_lengths,
+                               tone, language, noise_key=noise_key,
+                               noise_scale=noise_scale,
+                               length_scale=length_scale, max_len=max_len,
+                               deterministic=deterministic)
+
+    # -- training forward ---------------------------------------------------
+
+    def __call__(self, text, text_lengths, spec, spec_lengths, refer,
+                 refer_lengths, tone, language, *, rng, mas_noise_scale=0.0,
+                 deterministic: bool = True):
+        """Training forward. Parity: model3.py:1213-1255.
+
+        Args (all channel-last):
+          text/tone/language: [B, Tx] int32.
+          spec: [B, Ty, 100] ground-truth log-mel.
+          refer: [B, S, 100] prompt mel (caller picks refer1 or refer2).
+          rng: PRNG key for posterior noise, MAS noise, t, diffusion noise.
+        Returns:
+          (loss, metrics dict)
+        """
+        gd = GaussianDiffusion.create(
+            self.cfg.train.timesteps)
+        k_vits, k_t, k_noise = jax.random.split(rng, 3)
+
+        content, lengths, (l_length, loss_kl) = self.vits(
+            text, text_lengths, spec, spec_lengths, tone, language,
+            mas_noise_scale=mas_noise_scale, rngs_noise_key=k_vits,
+            deterministic=deterministic)
+
+        b = spec.shape[0]
+        t = jax.random.randint(k_t, (b,), 0, gd.num_timesteps)
+        x_mask = masking.sequence_mask(lengths, content.shape[1]).astype(
+            spec.dtype)[..., None]
+        x_start = spec * x_mask
+        noise = jax.random.normal(k_noise, x_start.shape, x_start.dtype) * x_mask
+        x = gd.q_sample(x_start, t, noise)
+
+        model_out = self.diff_model(x, t, content, refer, lengths,
+                                    refer_lengths,
+                                    deterministic=deterministic)
+        target = x_start
+        mse = (model_out.astype(jnp.float32)
+               - target.astype(jnp.float32)) ** 2
+        loss_diff = mse.reshape(b, -1).mean(axis=-1)
+        loss_diff = loss_diff * gd.loss_weight[t]
+        loss_diff = loss_diff.mean()
+
+        loss = 40.0 * loss_diff + l_length + loss_kl
+        metrics = {
+            "loss/diff": loss_diff,
+            "loss/len": l_length,
+            "loss/kl": loss_kl,
+            "loss/all": loss,
+        }
+        return loss, (metrics, model_out, target)
+
+
+# ---------------------------------------------------------------------------
+# Sampling (pure functions over params; the solver loop re-enters apply)
+# ---------------------------------------------------------------------------
+
+def synthesize(
+    model: DiffVits,
+    params,
+    text, text_lengths, refer, refer_lengths, tone, language,
+    key,
+    sampling_steps: int = 30,
+    sample_method: str = "unipc",
+    max_len: Optional[int] = None,
+    noise_scale: float = 0.667,
+    length_scale: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """text + prompt-mel -> mel. Parity: model3.py:1121-1203 (`sample`).
+
+    Returns (mel [B, Ty, 100], out_lengths [B]).
+    """
+    k_prior, k_init = jax.random.split(key)
+    content, out_lengths = model.apply(
+        params, text, text_lengths, refer, refer_lengths, tone, language,
+        noise_key=k_prior, noise_scale=noise_scale,
+        length_scale=length_scale, max_len=max_len,
+        method=DiffVits.vits_infer)
+
+    gd_betas = GaussianDiffusion.create(model.cfg.train.timesteps).betas
+    ns = NoiseScheduleVP(jnp.asarray(gd_betas))
+    b, t_y = content.shape[0], content.shape[1]
+    c_mel = model.cfg.diffusion_encoder.out_channels
+    x = jax.random.normal(k_init, (b, t_y, c_mel), jnp.float32)
+
+    def x0_fn(x, t_discrete):
+        return model.apply(params, x, t_discrete, content, refer,
+                           out_lengths, refer_lengths,
+                           method=DiffVits.denoise)
+
+    if sample_method == "unipc":
+        mel = sample_unipc(x0_fn, ns, x, steps=sampling_steps, order=2)
+    elif sample_method == "dpmsolver":
+        mel = sample_dpmpp(x0_fn, ns, x, steps=sampling_steps, order=2)
+    elif sample_method == "ddim":
+        gd = GaussianDiffusion.create(model.cfg.train.timesteps)
+        mel = gd.ddim_sample(
+            lambda xx, tt: model.apply(params, xx, tt, content, refer,
+                                       out_lengths, refer_lengths,
+                                       method=DiffVits.denoise),
+            x.shape, k_init, steps=sampling_steps)
+    elif sample_method == "ddpm":
+        gd = GaussianDiffusion.create(model.cfg.train.timesteps)
+        mel = gd.p_sample_loop(
+            lambda xx, tt: model.apply(params, xx, tt, content, refer,
+                                       out_lengths, refer_lengths,
+                                       method=DiffVits.denoise),
+            x.shape, k_init)
+    else:
+        raise ValueError(f"unknown sample_method {sample_method}")
+    return mel, out_lengths

@@ -1,0 +1,57 @@
+"""Conditional diffusion denoiser: prompt encoder + UNet1D.
+
+Parity: ``Diffusion_Encoder`` (model3.py:867-914): prompt mel (100ch) ->
+PromptEncoder(4 layers, hidden=128) -> cross-attn keys; noisy mel (100ch)
+concat content (128ch) -> UNet1D(block_out (128,256,384,512), groups 8,
+heads 8, 'text' additive embedding, scale_shift) -> x0 prediction (100ch).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diff_vits_tpu.core import masking
+from diff_vits_tpu.core.config import DiffusionEncoderConfig
+from diff_vits_tpu.models.encoders import PromptEncoder
+from diff_vits_tpu.nn.unet1d import UNet1DConditionModel
+
+
+class DiffusionEncoder(nn.Module):
+    cfg: DiffusionEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, cond, prompt, cond_lengths, prompt_lengths, *,
+                 deterministic: bool = True):
+        """
+        Args:
+          x: [B, T, C_mel] noisy mel.
+          t: [B] or scalar diffusion timesteps.
+          cond: [B, T, C_hidden] content latent from the VITS prior.
+          prompt: [B, S, C_mel] reference-audio prompt mel.
+        Returns:
+          [B, T, C_mel] x0 prediction.
+        """
+        c = self.cfg
+        prompt_keep = masking.sequence_mask(prompt_lengths, prompt.shape[1])
+        prompt_h = PromptEncoder(
+            c.in_channels, c.hidden_channels, c.hidden_channels,
+            c.n_prompt_layers, 0.2, dtype=self.dtype,
+            name="prompt_encoder")(prompt, prompt_lengths,
+                                   deterministic=deterministic)
+        prompt_h = prompt_h * prompt_keep.astype(prompt_h.dtype)[..., None]
+
+        h = jnp.concatenate([x, cond], axis=-1)
+        out = UNet1DConditionModel(
+            in_channels=c.in_channels + c.hidden_channels,
+            out_channels=c.out_channels,
+            block_out_channels=c.block_out_channels,
+            norm_num_groups=8,
+            cross_attention_dim=c.hidden_channels,
+            attention_head_dim=c.n_heads,
+            addition_embed_type="text",
+            resnet_time_scale_shift="scale_shift",
+            dtype=self.dtype,
+            name="unet")(h, t, prompt_h, encoder_attention_mask=prompt_keep,
+                         deterministic=deterministic)
+        return out

@@ -1,0 +1,156 @@
+"""Fairseq-style encoder layers (the PromptEncoder backbone), channel-last.
+
+Capability parity with the reference's T x B x C stack (operations.py /
+model.py): ``ConvLayer`` (model.py:153), ``EncConvLayer`` (model.py:173),
+``TransformerFFNLayer`` (operations.py:644) and ``EncSALayer``
+(operations.py:784, registry code 8 = 8 heads, ffn kernel 9, SAME padding,
+no qkv bias). Our layout is [B, T, C]; time-major TBC plus torch.conv_tbc is
+a GPU-era artifact — on TPU a plain NTC conv lowers to the same MXU matmuls.
+
+Padding-mask convention here: float keep-mask [B, T, 1] (1 = valid), the
+complement of the reference's bool pad-mask.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvLayer(nn.Module):
+    """LN -> conv(k). Parity: model.py:153 (ConvLayer = LayerNorm + ConvTBC)."""
+    c_out: int
+    kernel_size: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, keep_mask=None, *, deterministic: bool = True):
+        if keep_mask is not None:
+            x = x * keep_mask
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
+        # torch.conv_tbc pads symmetrically with k//2 on both sides; for even
+        # k this differs from SAME — replicate exactly.
+        pad = self.kernel_size // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+        x = nn.Conv(self.c_out, (self.kernel_size,), padding="VALID",
+                    dtype=self.dtype, name="conv")(x)
+        if self.kernel_size % 2 == 0:
+            x = x[:, :-1]
+        return x
+
+
+class EncConvLayer(nn.Module):
+    """Residual LN->conv->relu->dropout block. Parity: model.py:173."""
+    kernel_size: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, keep_mask=None, *, deterministic: bool = True):
+        residual = x
+        if keep_mask is not None:
+            x = x * keep_mask
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
+        pad = self.kernel_size // 2
+        h = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+        h = nn.Conv(x.shape[-1], (self.kernel_size,), padding="VALID",
+                    dtype=self.dtype, name="conv")(h)
+        if self.kernel_size % 2 == 0:
+            h = h[:, :-1]
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return h + residual
+
+
+class TransformerFFNLayer(nn.Module):
+    """Shifted-linear conv FFN. Parity: operations.py:644.
+
+    The reference emulates a width-k conv with k shifted Linear layers (only
+    the first has a bias) summed and scaled by k^-0.5. Functionally that IS a
+    conv with SAME padding and scaled output — we implement it as one conv,
+    which XLA maps onto a single MXU matmul chain.
+    """
+    filter_size: int
+    hidden_size: int
+    kernel_size: int = 1
+    padding: str = "SAME"
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        if self.kernel_size == 1:
+            x = nn.Dense(self.filter_size, dtype=self.dtype, name="ffn_1")(x)
+        else:
+            if self.padding == "SAME":
+                pad_l = (self.kernel_size - 1) // 2
+                pad_r = self.kernel_size - 1 - pad_l
+            else:  # LEFT (causal)
+                pad_l, pad_r = self.kernel_size - 1, 0
+            h = jnp.pad(x, ((0, 0), (pad_l, pad_r), (0, 0)))
+            x = nn.Conv(self.filter_size, (self.kernel_size,), padding="VALID",
+                        dtype=self.dtype, name="ffn_1")(h)
+            x = x * self.kernel_size ** -0.5
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return nn.Dense(self.hidden_size, dtype=self.dtype, name="ffn_2")(x)
+
+
+class EncSALayer(nn.Module):
+    """Pre-LN self-attention + conv-FFN block. Parity: operations.py:784.
+
+    Registry code 8 (operations.py:960): 8 heads, attention_dropout 0,
+    relu_dropout = dropout, ffn kernel 9, SAME.
+    """
+    num_heads: int
+    dropout: float
+    attention_dropout: float = 0.0
+    relu_dropout: float = 0.1
+    kernel_size: int = 9
+    ffn_padding: str = "SAME"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, keep_mask, *, deterministic: bool = True):
+        c = x.shape[-1]
+        head_dim = c // self.num_heads
+
+        residual = x
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x)
+        # fairseq MultiheadAttention (bias=False), standard softmax attention
+        qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype,
+                       name="in_proj")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, t, _ = q.shape
+
+        def split_heads(t_):
+            return t_.reshape(b, t, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        qh = split_heads(q) * head_dim ** -0.5
+        kh, vh = split_heads(k), split_heads(v)
+        scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh)
+        # key padding: -inf on padded keys (fairseq masked_fill -inf)
+        pad = (keep_mask[:, None, None, :, 0] == 0)
+        scores = jnp.where(pad, -jnp.inf, scores)
+        p = jax.nn.softmax(scores, axis=-1)
+        p = nn.Dropout(self.attention_dropout,
+                       deterministic=deterministic)(p)
+        out = jnp.einsum("bhts,bhsd->bhtd", p, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
+        out = nn.Dense(c, use_bias=False, dtype=self.dtype,
+                       name="out_proj")(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        x = (residual + out) * keep_mask
+
+        residual = x
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
+        h = TransformerFFNLayer(4 * c, c, kernel_size=self.kernel_size,
+                                padding=self.ffn_padding,
+                                dropout=self.relu_dropout, dtype=self.dtype,
+                                name="ffn")(h, deterministic=deterministic)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return (residual + h) * keep_mask

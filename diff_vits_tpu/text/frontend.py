@@ -1,0 +1,332 @@
+"""Host-side text frontend: phones/tones/language-id encoding + G2P dispatch.
+
+This layer is deliberately plain Python (SURVEY.md §7.1 item 4) — it feeds
+int arrays into the jitted model. Capability parity with the reference's
+``text/`` package:
+
+* ``cleaned_text_to_sequence`` (text/__init__.py:6) — exact.
+* ``clean_text`` (text/cleaner.py:9) dispatches to per-language G2P.
+* Mandarin G2P (text/chinese.py) requires the optional ``pypinyin`` +
+  ``jieba`` stack; Japanese needs ``pyopenjtalk``; English needs a CMU
+  dictionary file. Each backend is gated: if its dependency is missing we
+  raise a clear error at call time (the training path normally consumes
+  pre-cleaned text, dataset.py:181-191 — ``cleaned_text=True``).
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import List, Sequence, Tuple
+
+from diff_vits_tpu.text.symbols import (
+    language_id_map,
+    language_tone_start_map,
+    punctuation,
+    symbols,
+)
+
+_symbol_to_id = {s: i for i, s in enumerate(symbols)}
+
+
+def cleaned_text_to_sequence(cleaned_text: Sequence[str], tones: Sequence[int],
+                             language: str):
+    """phones -> ids, tones += language tone offset, language -> id list.
+
+    Parity: text/__init__.py:6.
+    """
+    phones = [_symbol_to_id[symbol] for symbol in cleaned_text]
+    tone_start = language_tone_start_map[language]
+    tones = [i + tone_start for i in tones]
+    lang_id = language_id_map[language]
+    lang_ids = [lang_id for _ in phones]
+    return phones, tones, lang_ids
+
+
+# ---------------------------------------------------------------------------
+# Mandarin G2P (parity: text/chinese.py; needs pypinyin + jieba + a
+# pinyin->phoneme lexicon in opencpop-strict format)
+# ---------------------------------------------------------------------------
+
+_ZH_REP_MAP = {
+    '：': ',', '；': ',', '，': ',', '。': '.', '！': '!', '？': '?',
+    '\n': '.', '·': ',', '、': ',', '...': '…', '$': '.',
+    '“': "'", '”': "'", '‘': "'", '’': "'", '（': "'", '）': "'",
+    '(': "'", ')': "'", '《': "'", '》': "'", '【': "'", '】': "'",
+    '[': "'", ']': "'", '—': '-', '～': '-', '~': '-', '「': "'", '」': "'",
+}
+
+
+def _zh_replace_punctuation(text: str) -> str:
+    text = text.replace('嗯', '恩').replace('呣', '母')
+    pattern = re.compile('|'.join(re.escape(p) for p in _ZH_REP_MAP))
+    text = pattern.sub(lambda x: _ZH_REP_MAP[x.group()], text)
+    return re.sub(r'[^一-龥' + ''.join(re.escape(p) for p in punctuation) + r']+',
+                  '', text)
+
+
+def _num_to_hanzi(num: str) -> str:
+    """Minimal integer/decimal -> hanzi conversion (cn2an fallback)."""
+    digits = '零一二三四五六七八九'
+    units = ['', '十', '百', '千']
+    big_units = ['', '万', '亿']
+
+    def int_to_hanzi(n: int) -> str:
+        if n == 0:
+            return '零'
+        parts = []
+        group_idx = 0
+        while n > 0:
+            group = n % 10000
+            n //= 10000
+            if group:
+                s = ''
+                zero_pending = False
+                for pos in range(3, -1, -1):
+                    d = (group // (10 ** pos)) % 10
+                    if d == 0:
+                        if s:
+                            zero_pending = True
+                        continue
+                    if zero_pending:
+                        s += '零'
+                        zero_pending = False
+                    if not (pos == 1 and d == 1 and group < 100):
+                        s += digits[d]
+                    s += units[pos]
+                parts.append(s + big_units[group_idx])
+            elif parts:
+                parts.append('零')
+            group_idx += 1
+        out = ''.join(reversed(parts))
+        return out.strip('零') or '零'
+
+    if '.' in num:
+        a, b = num.split('.', 1)
+        return int_to_hanzi(int(a)) + '点' + ''.join(digits[int(c)] for c in b)
+    return int_to_hanzi(int(num))
+
+
+def zh_text_normalize(text: str) -> str:
+    """Number conversion + punctuation mapping. Parity: chinese.py:169."""
+    try:
+        import cn2an  # type: ignore
+        def an2cn(n):
+            return cn2an.an2cn(n)
+    except ImportError:
+        an2cn = _num_to_hanzi
+    for number in re.findall(r'\d+(?:\.?\d+)?', text):
+        text = text.replace(number, an2cn(number), 1)
+    return _zh_replace_punctuation(text)
+
+
+def _load_pinyin_lexicon():
+    """pinyin -> phone-list map, opencpop-strict format (tab separated)."""
+    path = os.environ.get("DIFF_VITS_PINYIN_LEXICON")
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "opencpop-strict.txt")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            "Mandarin G2P needs a pinyin->phoneme lexicon (opencpop-strict "
+            "format). Set DIFF_VITS_PINYIN_LEXICON or place "
+            "opencpop-strict.txt next to this module.")
+    out = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                k, v = line.split("\t")
+                out[k] = v.split(" ")
+    return out
+
+
+_V_REP_MAP = {'uei': 'ui', 'iou': 'iu', 'uen': 'un'}
+_PINYIN_REP_MAP = {'ing': 'ying', 'i': 'yi', 'in': 'yin', 'u': 'wu'}
+_SINGLE_REP_MAP = {'v': 'yu', 'e': 'e', 'i': 'y', 'u': 'w'}
+
+
+def zh_g2p(text: str) -> Tuple[List[str], List[int], List[int]]:
+    """Mandarin grapheme-to-phoneme. Parity: chinese.py:64-165."""
+    try:
+        from pypinyin import lazy_pinyin, Style  # type: ignore
+        import jieba.posseg as psg  # type: ignore
+    except ImportError as e:
+        raise ImportError(
+            "Mandarin G2P requires pypinyin and jieba; install them or feed "
+            "pre-cleaned text (cleaned_text=True).") from e
+    from diff_vits_tpu.text.tone_sandhi import ToneSandhi
+
+    pinyin_to_symbol = _load_pinyin_lexicon()
+    sandhi = ToneSandhi()
+
+    pattern = r'(?<=[{0}])\s*'.format(''.join(punctuation))
+    sentences = [i for i in re.split(pattern, text) if i.strip() != '']
+
+    phones_list: List[str] = []
+    tones_list: List[int] = []
+    word2ph: List[int] = []
+    for seg in sentences:
+        seg = re.sub('[a-zA-Z]+', '', seg)
+        seg_cut = psg.lcut(seg)
+        initials, finals = [], []
+        seg_cut = sandhi.pre_merge_for_modify(seg_cut)
+        for word, pos in seg_cut:
+            if pos == 'eng':
+                continue
+            sub_initials = lazy_pinyin(word, neutral_tone_with_five=True,
+                                       style=Style.INITIALS)
+            sub_finals = lazy_pinyin(word, neutral_tone_with_five=True,
+                                     style=Style.FINALS_TONE3)
+            sub_finals = sandhi.modified_tone(word, pos, sub_finals)
+            initials += sub_initials
+            finals += sub_finals
+        for c, v in zip(initials, finals):
+            if c == v:
+                assert c in punctuation
+                phone, tone = [c], '0'
+                word2ph.append(1)
+            else:
+                v_without_tone, tone = v[:-1], v[-1]
+                pinyin = c + v_without_tone
+                assert tone in '12345'
+                if c:
+                    if v_without_tone in _V_REP_MAP:
+                        pinyin = c + _V_REP_MAP[v_without_tone]
+                else:
+                    if pinyin in _PINYIN_REP_MAP:
+                        pinyin = _PINYIN_REP_MAP[pinyin]
+                    elif pinyin[0] in _SINGLE_REP_MAP:
+                        pinyin = _SINGLE_REP_MAP[pinyin[0]] + pinyin[1:]
+                assert pinyin in pinyin_to_symbol, (pinyin, seg)
+                phone = pinyin_to_symbol[pinyin]
+                word2ph.append(len(phone))
+            phones_list += phone
+            tones_list += [int(tone)] * len(phone)
+
+    phones = ['_'] + phones_list + ['_']
+    tones = [0] + tones_list + [0]
+    word2ph = [1] + word2ph + [1]
+    return phones, tones, word2ph
+
+
+# ---------------------------------------------------------------------------
+# English G2P (parity: text/english.py; CMUdict file based)
+# ---------------------------------------------------------------------------
+
+_ARPA_RE = re.compile(r'([A-Z]+)([0-9]?)')
+_cmudict_cache = None
+
+
+def _load_cmudict():
+    global _cmudict_cache
+    if _cmudict_cache is not None:
+        return _cmudict_cache
+    path = os.environ.get("DIFF_VITS_CMUDICT")
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "cmudict.rep")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            "English G2P needs a CMU dictionary file; set DIFF_VITS_CMUDICT "
+            "or place cmudict.rep next to this module.")
+    d = {}
+    with open(path, encoding="latin-1") as f:
+        for line in f:
+            if line.startswith((';;;', '##')) or not line.strip():
+                continue
+            parts = line.strip().split('  ')
+            if len(parts) < 2:
+                parts = line.strip().split(' ', 1)
+            word = parts[0].split('(')[0].upper()
+            if word not in d:
+                d[word] = parts[1].strip().split(' ')
+    _cmudict_cache = d
+    return d
+
+
+def en_g2p(text: str) -> Tuple[List[str], List[int], List[int]]:
+    """English grapheme-to-phoneme via CMUdict with ARPA stress -> tone.
+
+    Parity: english.py:80-136 (stress digit becomes the tone channel;
+    unknown words fall back to per-letter UNK).
+    """
+    d = _load_cmudict()
+    words = re.findall(r"[A-Za-z']+|[.,!?;:]", text)
+    phones: List[str] = []
+    tones: List[int] = []
+    word2ph: List[int] = []
+    for w in words:
+        if re.match(r"[.,!?;:]", w):
+            mapped = {'.': '.', ',': ',', '!': '!', '?': '?', ';': ',', ':': ','}[w]
+            phones.append(mapped)
+            tones.append(0)
+            word2ph.append(1)
+            continue
+        arpa = d.get(w.upper())
+        if arpa is None:
+            phones.append('UNK')
+            tones.append(0)
+            word2ph.append(1)
+            continue
+        n = 0
+        for ph in arpa:
+            m = _ARPA_RE.fullmatch(ph)
+            if not m:
+                continue
+            base, stress = m.group(1).lower(), m.group(2)
+            if base == 'v':
+                base = 'V'
+            phones.append(base)
+            tones.append(int(stress) + 1 if stress else 0)
+            n += 1
+        word2ph.append(n)
+    phones = ['_'] + phones + ['_']
+    tones = [0] + tones + [0]
+    word2ph = [1] + word2ph + [1]
+    return phones, tones, word2ph
+
+
+def en_text_normalize(text: str) -> str:
+    return text
+
+
+# ---------------------------------------------------------------------------
+# Japanese G2P (parity: text/japanese.py; needs pyopenjtalk)
+# ---------------------------------------------------------------------------
+
+def ja_g2p(text: str) -> Tuple[List[str], List[int], List[int]]:
+    try:
+        import pyopenjtalk  # type: ignore
+    except ImportError as e:
+        raise ImportError("Japanese G2P requires pyopenjtalk.") from e
+    phones_raw = pyopenjtalk.g2p(text).split(' ')
+    phones = [p for p in phones_raw if p != 'pau'] or phones_raw
+    phones = ['_'] + phones + ['_']
+    tones = [0] * len(phones)
+    word2ph = [1] * len(phones)
+    return phones, tones, word2ph
+
+
+def ja_text_normalize(text: str) -> str:
+    return text
+
+
+_LANGUAGE_MODULES = {
+    'ZH': (zh_text_normalize, zh_g2p),
+    'EN': (en_text_normalize, en_g2p),
+    'JA': (ja_text_normalize, ja_g2p),
+}
+
+
+def clean_text(text: str, language: str):
+    """normalize + g2p. Parity: text/cleaner.py:9 (only ZH registered there;
+    we register ZH/EN/JA, each gated on its dependencies)."""
+    normalize, g2p = _LANGUAGE_MODULES[language]
+    norm_text = normalize(text)
+    phones, tones, word2ph = g2p(norm_text)
+    return norm_text, phones, tones, word2ph
+
+
+def get_bert(norm_text, word2ph, language):
+    """BERT feature hook — zero-mock by default (english_bert_mock.py:4);
+    the active model path never consumes these (SURVEY.md §2.4)."""
+    import numpy as np
+    return np.zeros((1024, sum(word2ph)), dtype=np.float32)

@@ -1,0 +1,67 @@
+"""Text frontend tests: symbol tables, sequence encoding, pinyin lexicon."""
+import numpy as np
+import pytest
+
+from tests.conftest import reference_available, add_reference_to_path
+
+import importlib
+
+S = importlib.import_module("diff_vits_tpu.text.symbols")
+from diff_vits_tpu.text.frontend import cleaned_text_to_sequence
+from diff_vits_tpu.text.pinyin_lexicon import build_lexicon
+
+
+def test_symbol_tables_match_reference():
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    add_reference_to_path()
+    import importlib
+    spec = importlib.util.spec_from_file_location(
+        "ref_symbols", "/root/reference/text/symbols.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    assert S.symbols == ref.symbols
+    assert S.num_tones == ref.num_tones
+    assert S.language_id_map == ref.language_id_map
+    assert S.language_tone_start_map == ref.language_tone_start_map
+
+
+def test_cleaned_text_to_sequence():
+    phones, tones, langs = cleaned_text_to_sequence(
+        ['_', 'n', 'i', 'h', 'ao', '_'], [0, 3, 3, 2, 2, 0], 'ZH')
+    assert len(phones) == 6
+    assert phones[0] == 0  # pad
+    assert tones == [0, 3, 3, 2, 2, 0]   # ZH offset 0
+    assert langs == [0] * 6
+
+    _, tones_en, langs_en = cleaned_text_to_sequence(['hh', 'ah'], [0, 1], 'EN')
+    assert tones_en == [7, 8]   # EN tone offset = 6 + 1
+    assert langs_en == [2, 2]
+
+
+def test_pinyin_lexicon_matches_reference():
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    ref_map = {}
+    with open("/root/reference/text/opencpop-strict.txt") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                k, v = line.split("\t")
+                ref_map[k] = v.split(" ")
+    ours = build_lexicon()
+    missing = set(ref_map) - set(ours)
+    extra = set(ours) - set(ref_map)
+    wrong = {k: (ours[k], ref_map[k]) for k in set(ref_map) & set(ours)
+             if ours[k] != ref_map[k]}
+    assert not missing, f"missing syllables: {sorted(missing)}"
+    assert not wrong, f"wrong mappings: {wrong}"
+    # extra valid syllables we generate beyond the reference are harmless
+    # but report them for visibility
+    assert len(extra) < 40, sorted(extra)
+
+
+def test_all_lexicon_phones_in_symbol_table():
+    for syllable, phones in build_lexicon().items():
+        for p in phones:
+            assert p in S.symbols, (syllable, p)
