@@ -110,6 +110,10 @@ class VitsConfig:
     # duration predictor selection: 'unet' (model3), 'conv' (classic VITS),
     # 'sdp' (stochastic) — model3.py:734-742
     duration_predictor: str = "unet"
+    # bv2 variant: phoneme-level prosody VAE (bv2.py:540-775)
+    use_phoneme_vae: bool = False
+    # warmup steps before the phoneme VAE contributes (bv2.py:770-773)
+    phoneme_vae_warmup_steps: int = 200_000
     mas_noise_scale_initial: float = 0.01
     noise_scale_delta: float = 2e-6
 

@@ -76,7 +76,7 @@ class DiffVits(nn.Module):
             self.cfg.train.timesteps)
         k_vits, k_t, k_noise = jax.random.split(rng, 3)
 
-        content, lengths, (l_length, loss_kl) = self.vits(
+        content, lengths, (l_length, loss_kl, loss_kl_ph) = self.vits(
             text, text_lengths, spec, spec_lengths, tone, language,
             mas_noise_scale=mas_noise_scale, rngs_noise_key=k_vits,
             deterministic=deterministic)
@@ -99,11 +99,14 @@ class DiffVits(nn.Module):
         loss_diff = loss_diff * gd.loss_weight[t]
         loss_diff = loss_diff.mean()
 
-        loss = 40.0 * loss_diff + l_length + loss_kl
+        # loss = 40*diff + dur + kl (+ kl_ph for the bv2 variant)
+        # (model3.py:1252 / bv2 forward)
+        loss = 40.0 * loss_diff + l_length + loss_kl + loss_kl_ph
         metrics = {
             "loss/diff": loss_diff,
             "loss/len": l_length,
             "loss/kl": loss_kl,
+            "loss/kl_ph": loss_kl_ph,
             "loss/all": loss,
         }
         return loss, (metrics, model_out, target)
@@ -135,8 +138,11 @@ def synthesize(
         length_scale=length_scale, max_len=max_len,
         method=DiffVits.vits_infer)
 
-    gd_betas = GaussianDiffusion.create(model.cfg.train.timesteps).betas
-    ns = NoiseScheduleVP(jnp.asarray(gd_betas))
+    # pure-numpy schedule construction: synthesize may itself be jitted, and
+    # jnp constants created inside a trace are tracers (jax>=0.9) which the
+    # schedule's host-side table build can't consume
+    from diff_vits_tpu.diffusion.schedule import linear_beta_schedule
+    ns = NoiseScheduleVP(linear_beta_schedule(model.cfg.train.timesteps))
     b, t_y = content.shape[0], content.shape[1]
     c_mel = model.cfg.diffusion_encoder.out_channels
     x = jax.random.normal(k_init, (b, t_y, c_mel), jnp.float32)

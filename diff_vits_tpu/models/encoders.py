@@ -164,3 +164,26 @@ class ReferenceEncoder(nn.Module):
         carry, _ = jax.lax.scan(step, carry, jnp.moveaxis(x, 1, 0))
         return nn.Dense(self.gin_channels, dtype=self.dtype,
                         name="proj")(carry)
+
+
+class SpeakerEncoder(nn.Module):
+    """LSTM d-vector speaker encoder (model3.py:631-642 — unused in the
+    active path; kept for capability parity). Returns an L2-normalized
+    embedding."""
+    model_hidden_size: int = 256
+    model_embedding_size: int = 256
+    model_num_layers: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mels):
+        # mels: [B, T, n_mels]
+        h = mels
+        for i in range(self.model_num_layers):
+            cell = nn.OptimizedLSTMCell(self.model_hidden_size,
+                                        dtype=self.dtype, name=f"lstm_{i}")
+            h = nn.RNN(cell, name=f"rnn_{i}")(h)
+        last = h[:, -1]
+        emb = nn.relu(nn.Dense(self.model_embedding_size, dtype=self.dtype,
+                               name="linear")(last))
+        return emb / jnp.linalg.norm(emb, axis=1, keepdims=True)

@@ -72,6 +72,12 @@ class VITS(nn.Module):
                     c.inter_channels, c.hidden_channels, 5, 1, 4,
                     n_flows=c.n_flow_layer, gin_channels=c.gin_channels,
                     dtype=self.dtype)
+        if c.use_phoneme_vae:
+            from diff_vits_tpu.models.phoneme_vae import PhonemeVAE
+            self.phoneme_vae = PhonemeVAE(
+                c.inter_channels, c.hidden_channels,
+                n_flow_layer=c.n_flow_layer, gin_channels=c.gin_channels,
+                dtype=self.dtype)
         self.o_proj = PromptEncoder(
             c.inter_channels, c.hidden_channels, c.inter_channels, 6, 0.2,
             gin_channels=c.gin_channels, dtype=self.dtype)
@@ -130,8 +136,19 @@ class VITS(nn.Module):
 
         loss_kl = masking.kl_loss(z_p, logs_q, m_p_e, logs_p_e, y_mask)
 
+        loss_kl_ph = jnp.zeros((), jnp.float32)
+        if c.use_phoneme_vae:
+            # bv2 prosody VAE (bv2.py:758-775); warmup gating is applied by
+            # the caller via `phoneme_vae_scale`
+            key_ph = (jax.random.fold_in(rngs_noise_key, 2)
+                      if rngs_noise_key is not None else None)
+            prosody, loss_kl_ph = self.phoneme_vae(
+                z, attn, x_h, x_mask, g=g, noise_key=key_ph,
+                deterministic=deterministic)
+            z = z + prosody
+
         content = self.o_proj(z, y_lengths, g=g, deterministic=deterministic)
-        return content, y_lengths, (l_length, loss_kl)
+        return content, y_lengths, (l_length, loss_kl, loss_kl_ph)
 
     def infer(self, x, x_lengths, y, y_lengths, tone, language, *,
               noise_key, noise_scale=0.667, length_scale=1.0,
@@ -166,7 +183,14 @@ class VITS(nn.Module):
         z = z_p
         if c.use_flow:
             z = self.flow(z_p, y_mask, g=g, reverse=True,
-                          deterministic=deterministic)
+                          deterministic=deterministic) * y_mask
+        if c.use_phoneme_vae:
+            # bv2 inference prosody injection (bv2.py:793-828)
+            prosody = self.phoneme_vae.infer(
+                attn, x_h, x_mask, g=g,
+                noise_key=jax.random.fold_in(noise_key, 3),
+                noise_scale=noise_scale, deterministic=deterministic)
+            z = z + prosody
         content = self.o_proj(z, out_lengths, g=g,
                               deterministic=deterministic)
         return content, out_lengths

@@ -154,3 +154,110 @@ class EncSALayer(nn.Module):
                                 name="ffn")(h, deterministic=deterministic)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return (residual + h) * keep_mask
+
+
+class EncLocalSALayer(nn.Module):
+    """Chunked local self-attention block (window 101).
+
+    Capability parity: operations.py:824-879 (registry code 11 — the only
+    sub-quadratic attention in the reference, unused by the active path).
+    Implemented as full attention with a banded additive mask: for the
+    sequence lengths involved (<= ~2k frames) the banded O(T^2) masked form
+    is faster on the MXU than gather-based chunking; a Pallas block-local
+    kernel can slot in here for long-context scaling.
+    """
+    num_heads: int
+    dropout: float
+    attention_dropout: float = 0.1
+    relu_dropout: float = 0.1
+    chunk_size: int = 101
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, keep_mask, *, deterministic: bool = True):
+        c = x.shape[-1]
+        head_dim = c // self.num_heads
+        half = self.chunk_size // 2
+
+        residual = x
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x)
+        qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype,
+                       name="in_proj")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, t, _ = q.shape
+
+        def split_heads(t_):
+            return t_.reshape(b, t, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        qh = split_heads(q) * head_dim ** -0.5
+        kh, vh = split_heads(k), split_heads(v)
+        scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh)
+        pos = jnp.arange(t)
+        band = jnp.abs(pos[:, None] - pos[None, :]) <= half
+        scores = jnp.where(band[None, None], scores, -1e9)
+        pad = (keep_mask[:, None, None, :, 0] == 0)
+        scores = jnp.where(pad, -1e9, scores)
+        p = jax.nn.softmax(scores, axis=-1)
+        p = nn.Dropout(self.attention_dropout, deterministic=deterministic)(p)
+        out = jnp.einsum("bhts,bhsd->bhtd", p, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
+        out = nn.Dense(c, use_bias=False, dtype=self.dtype,
+                       name="out_proj")(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        x = (residual + out) * keep_mask
+
+        residual = x
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
+        h = TransformerFFNLayer(4 * c, c, kernel_size=9,
+                                dropout=self.relu_dropout, dtype=self.dtype,
+                                name="ffn")(h, deterministic=deterministic)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return (residual + h) * keep_mask
+
+
+class EncLSTMLayer(nn.Module):
+    """Bi-LSTM residual block. Capability parity: operations.py:882-903
+    (registry code 12). The recurrence runs as two ``lax.scan`` passes."""
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, keep_mask=None, *, deterministic: bool = True):
+        c = x.shape[-1]
+        residual = x
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
+
+        fwd_cell = nn.OptimizedLSTMCell(c, dtype=self.dtype, name="lstm_fwd")
+        bwd_cell = nn.OptimizedLSTMCell(c, dtype=self.dtype, name="lstm_bwd")
+        rnn_f = nn.RNN(fwd_cell, name="rnn_fwd")
+        rnn_b = nn.RNN(bwd_cell, reverse=True, keep_order=True, name="rnn_bwd")
+        hf = rnn_f(h)
+        hb = rnn_b(h)
+        h = jnp.concatenate([hf, hb], axis=-1)
+        h = nn.Dense(c, dtype=self.dtype, name="out_proj")(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        out = residual + h
+        if keep_mask is not None:
+            out = out * keep_mask
+        return out
+
+
+OPERATIONS_ENCODER = {
+    # registry parity: operations.py:953-971 (c = hidden size)
+    1: lambda c, dropout, dtype=jnp.float32: EncConvLayer(1, dropout, dtype=dtype),
+    2: lambda c, dropout, dtype=jnp.float32: EncConvLayer(5, dropout, dtype=dtype),
+    3: lambda c, dropout, dtype=jnp.float32: EncConvLayer(9, dropout, dtype=dtype),
+    4: lambda c, dropout, dtype=jnp.float32: EncConvLayer(13, dropout, dtype=dtype),
+    5: lambda c, dropout, dtype=jnp.float32: EncConvLayer(17, dropout, dtype=dtype),
+    6: lambda c, dropout, dtype=jnp.float32: EncConvLayer(21, dropout, dtype=dtype),
+    7: lambda c, dropout, dtype=jnp.float32: EncConvLayer(25, dropout, dtype=dtype),
+    8: lambda c, dropout, dtype=jnp.float32: EncSALayer(
+        8, dropout, attention_dropout=0.0, relu_dropout=dropout,
+        kernel_size=9, ffn_padding="SAME", dtype=dtype),
+    9: lambda c, dropout, dtype=jnp.float32: EncSALayer(4, dropout, dtype=dtype),
+    10: lambda c, dropout, dtype=jnp.float32: EncSALayer(8, dropout, dtype=dtype),
+    11: lambda c, dropout, dtype=jnp.float32: EncLocalSALayer(2, dropout, dtype=dtype),
+    12: lambda c, dropout, dtype=jnp.float32: EncLSTMLayer(dropout, dtype=dtype),
+    14: lambda c, dropout, dtype=jnp.float32: EncSALayer(2, dropout, kernel_size=1, dtype=dtype),
+    15: lambda c, dropout, dtype=jnp.float32: EncSALayer(2, dropout, kernel_size=15, dtype=dtype),
+}

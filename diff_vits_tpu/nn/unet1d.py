@@ -453,8 +453,11 @@ class UNet1DConditionModel(nn.Module):
         emb = TimestepEmbedding(time_embed_dim, dtype=self.dtype,
                                 name="time_embedding")(t_emb)
         if self.addition_embed_type == "text":
+            # clamp pooling heads so dim_per_head >= 1 on small configs
+            add_heads = min(self.addition_embed_type_num_heads,
+                            self.cross_attention_dim)
             aug = TextTimeEmbedding(self.cross_attention_dim, time_embed_dim,
-                                    num_heads=self.addition_embed_type_num_heads,
+                                    num_heads=add_heads,
                                     dtype=self.dtype, name="add_embedding")(
                                         encoder_hidden_states)
             emb = emb + aug

@@ -1,0 +1,107 @@
+"""Monotonic Alignment Search as a Pallas TPU kernel.
+
+One grid program per batch element; the whole [Ty, Tx] value matrix lives in
+VMEM (400x603 fp32 ~ 1 MB for the training config), the forward Viterbi
+wavefront and the backtrack both run inside the kernel with zero dispatch
+overhead per row — the per-step ``lax.scan`` dispatch of ops/mas.py is
+amortized away and the B batch elements run in parallel across the grid.
+
+Semantics identical to ops/mas.py (and the reference numba kernel,
+monotonic_align/core.py:4-35).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend only exists on TPU builds
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+_NEG = -1e9
+
+
+def _mas_kernel(t_ys_ref, t_xs_ref, neg_cent_ref, path_ref, value_ref):
+    b = pl.program_id(0)
+    t_y = t_ys_ref[b]
+    t_x = t_xs_ref[b]
+    t_y_max, t_x_max = neg_cent_ref.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, t_x_max), 1)
+
+    # forward DP
+    def fwd(y, _):
+        row_raw = neg_cent_ref[pl.ds(y, 1), :]
+        prev = jnp.where(y > 0, value_ref[pl.ds(jnp.maximum(y - 1, 0), 1), :],
+                         jnp.zeros((1, t_x_max), jnp.float32))
+        v_cur = jnp.where(col == y, _NEG, prev)
+        shifted = pltpu.roll(prev, 1, 1) if _HAS_PLTPU else jnp.roll(prev, 1, 1)
+        v_prev = jnp.where(col == 0,
+                           jnp.where(y == 0, 0.0, _NEG), shifted)
+        acc = row_raw + jnp.maximum(v_cur, v_prev)
+        lower = jnp.maximum(0, t_x + y - t_y)
+        upper = jnp.minimum(t_x, y + 1)
+        in_band = (col >= lower) & (col < upper)
+        value_ref[pl.ds(y, 1), :] = jnp.where(in_band, acc, row_raw)
+        return 0
+
+    jax.lax.fori_loop(0, t_y_max, fwd, 0)
+
+    # backtrack
+    def bwd(i, index):
+        y = t_y_max - 1 - i
+        active = y < t_y
+        onehot = jnp.where(active & (col == index), 1.0, 0.0)
+        path_ref[pl.ds(y, 1), :] = onehot
+        prev = value_ref[pl.ds(jnp.maximum(y - 1, 0), 1), :]
+        lt = prev < (pltpu.roll(prev, 1, 1) if _HAS_PLTPU
+                     else jnp.roll(prev, 1, 1))
+        lt_at = jnp.sum(jnp.where(col == index, lt, False).astype(jnp.int32)) > 0
+        move = (index != 0) & ((index == y) | lt_at)
+        return jnp.where(active & move, index - 1, index)
+
+    jax.lax.fori_loop(0, t_y_max, bwd, t_x - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def maximum_path_pallas(neg_cent: jax.Array, mask: jax.Array,
+                        interpret: bool = False) -> jax.Array:
+    """Drop-in replacement for ops.mas.maximum_path using a Pallas kernel."""
+    dtype = neg_cent.dtype
+    b, t_y, t_x = neg_cent.shape
+    # pad the lane dim to 128 (fp32 tile) and sublane to 8
+    pad_x = (-t_x) % 128
+    pad_y = (-t_y) % 8
+    nc = jnp.pad(neg_cent.astype(jnp.float32),
+                 ((0, 0), (0, pad_y), (0, pad_x)))
+    t_ys = mask.sum(axis=1)[:, 0].astype(jnp.int32)
+    t_xs = mask.sum(axis=2)[:, 0].astype(jnp.int32)
+
+    ty_p, tx_p = t_y + pad_y, t_x + pad_x
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, ty_p, tx_p), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, ty_p, tx_p), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((ty_p, tx_p), jnp.float32)],
+    )
+
+    def kernel(t_ys_ref, t_xs_ref, nc_ref, path_ref, value_ref):
+        _mas_kernel(t_ys_ref, t_xs_ref, nc_ref.at[0], path_ref.at[0],
+                    value_ref)
+
+    path = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, ty_p, tx_p), jnp.float32),
+        interpret=interpret,
+    )(t_ys, t_xs, nc)
+    path = path[:, :t_y, :t_x]
+    return (path * mask.astype(jnp.float32)).astype(dtype)

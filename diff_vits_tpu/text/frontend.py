@@ -326,7 +326,38 @@ def clean_text(text: str, language: str):
 
 
 def get_bert(norm_text, word2ph, language):
-    """BERT feature hook — zero-mock by default (english_bert_mock.py:4);
-    the active model path never consumes these (SURVEY.md §2.4)."""
+    """Per-phone BERT features.
+
+    Parity: text/chinese_bert.py:15-36 — hidden state -3 of
+    chinese-roberta-wwm-ext-large, repeated per phone via word2ph; the
+    English path is a zero mock (english_bert_mock.py:4). The active model
+    never consumes these (SURVEY.md §2.4), so the ZH path is gated on a
+    local model dir (zero-egress environment): set DIFF_VITS_BERT_PATH to a
+    downloaded chinese-roberta checkpoint to enable it.
+    """
     import numpy as np
+
+    if language == "ZH":
+        path = os.environ.get("DIFF_VITS_BERT_PATH")
+        if path and os.path.isdir(path):
+            return _zh_bert_features(norm_text, word2ph, path)
     return np.zeros((1024, sum(word2ph)), dtype=np.float32)
+
+
+def _zh_bert_features(text, word2ph, model_path):
+    """chinese-roberta hidden-state features (chinese_bert.py:18-36)."""
+    import numpy as np
+    import torch
+    from transformers import AutoModelForMaskedLM, AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(model_path)
+    model = AutoModelForMaskedLM.from_pretrained(model_path).eval()
+    with torch.no_grad():
+        inputs = tokenizer(text, return_tensors="pt")
+        res = model(**inputs, output_hidden_states=True)
+        hidden = torch.cat(res.hidden_states[-3:-2], -1)[0]  # [T, 1024]
+    assert len(word2ph) == hidden.shape[0], (len(word2ph), hidden.shape)
+    phone_level = []
+    for i, n in enumerate(word2ph):
+        phone_level.append(hidden[i].repeat(n, 1))
+    return torch.cat(phone_level, dim=0).T.numpy()

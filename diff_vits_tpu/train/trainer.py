@@ -1,0 +1,345 @@
+"""Training loop: donated-buffer jitted step, SPMD data parallelism.
+
+Parity: ``Trainer`` (model3.py:1278-1454) redesigned TPU-first:
+
+* one jitted ``train_step`` (loss + grad + global-norm clip + AdamW) with
+  donated state buffers; gradient AllReduce is inserted by pjit from the
+  batch sharding — no explicit communication;
+* grad-clip schedule 10.0 -> 1.0 at 100k steps (model3.py:1376-1379) inside
+  the compiled step (branch on a traced step counter, no recompile);
+* MAS-noise annealing by step (model3.py:1214-1220) computed in-graph;
+* the refer1/refer2 coin flip (model3.py:1231-1234) happens on host per
+  step, keeping batch shapes static;
+* metrics accumulate on device; host sync only at logging boundaries
+  (the reference's per-parameter ``.item()`` grad-norm probe,
+  model3.py:1266-1275, becomes one fused global-norm reduction);
+* checkpoints include optimizer state and resume exactly.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import random
+import time
+from datetime import datetime
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diff_vits_tpu.core.config import Config
+from diff_vits_tpu.data.dataset import Batch, TextMelDataset, TrainLoader
+from diff_vits_tpu.models.diff_vits import DiffVits, synthesize
+from diff_vits_tpu.parallel import mesh as mesh_lib
+from diff_vits_tpu.text.symbols import symbols
+from diff_vits_tpu.train import checkpoint as ckpt_lib
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    return optax.adamw(cfg.train.train_lr, b1=cfg.train.adam_betas[0],
+                       b2=cfg.train.adam_betas[1], eps=cfg.train.eps)
+
+
+def clip_by_global_norm_scheduled(grads, step, cfg: Config):
+    """Global-norm clip with the reference's 10.0 -> 1.0 schedule."""
+    max_norm = jnp.where(step < cfg.train.clip_switch_step,
+                         cfg.train.clip_before, cfg.train.clip_after)
+    g_norm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / (g_norm + 1e-6))
+    return jax.tree_util.tree_map(lambda g: g * scale, grads), g_norm
+
+
+def make_train_step(model: DiffVits, tx: optax.GradientTransformation,
+                    cfg: Config):
+    """Build the jitted SPMD train step.
+
+    state = {'params', 'opt_state', 'step', 'rng'}; batch is a dict of
+    arrays sharded on the leading (batch) axis.
+    """
+
+    def loss_fn(params, batch, rng, mas_noise_scale):
+        loss, (metrics, _, _) = model.apply(
+            {"params": params}, batch["text"], batch["text_lengths"],
+            batch["spec"], batch["spec_lengths"], batch["refer"],
+            batch["refer_lengths"], batch["tone"], batch["language"],
+            rng=rng, mas_noise_scale=mas_noise_scale, deterministic=False,
+            rngs={"dropout": jax.random.fold_in(rng, 1)})
+        return loss, metrics
+
+    accum = max(1, cfg.train.gradient_accumulate_every)
+
+    def train_step(state, batch):
+        step = state["step"]
+        rng = jax.random.fold_in(state["rng"], step)
+        mas_noise_scale = jnp.maximum(
+            cfg.train.mas_noise_scale_initial
+            - cfg.train.noise_scale_delta * step, 0.0)
+        if accum == 1:
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state["params"], batch, rng,
+                                       mas_noise_scale)
+        else:
+            # gradient accumulation (model3.py:1366-1374): batches carry a
+            # leading accum axis; grads averaged in-graph via scan
+            def micro(carry, inp):
+                i, mb = inp
+                (l, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state["params"], mb, jax.random.fold_in(rng, i),
+                    mas_noise_scale)
+                carry = jax.tree_util.tree_map(jnp.add, carry, g)
+                return carry, (l, m)
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state["params"])
+            grads, (losses, metrics) = jax.lax.scan(
+                micro, zeros, (jnp.arange(accum), batch))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            metrics = jax.tree_util.tree_map(lambda m: m.mean(), metrics)
+        grads, g_norm = clip_by_global_norm_scheduled(grads, step, cfg)
+        updates, opt_state = tx.update(grads, state["opt_state"],
+                                       state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        metrics["loss/grad"] = g_norm
+        new_state = {"params": params, "opt_state": opt_state,
+                     "step": step + 1, "rng": state["rng"]}
+        return new_state, metrics
+
+    return train_step
+
+
+class Trainer:
+    """End-to-end training driver (reference Trainer parity)."""
+
+    def __init__(self, cfg: Config, workdir: Optional[str] = None,
+                 dataset: Optional[TextMelDataset] = None):
+        self.cfg = cfg
+        mesh_lib.initialize_distributed()
+        self.mesh = mesh_lib.make_mesh(cfg.train.mesh_shape,
+                                       cfg.train.mesh_axes)
+        dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" \
+            else jnp.float32
+        self.model = DiffVits(cfg, n_vocab=len(symbols), dtype=dtype)
+        self.tx = make_optimizer(cfg)
+
+        now = datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+        self.logs_folder = workdir or os.path.join(cfg.train.logs_folder, now)
+        if jax.process_index() == 0:
+            os.makedirs(self.logs_folder, exist_ok=True)
+
+        self.ds = dataset or TextMelDataset(cfg)
+        self.loader = TrainLoader(self.ds, cfg, seed=cfg.train.seed,
+                                  host_id=jax.process_index(),
+                                  num_hosts=jax.process_count())
+        self._py_rng = random.Random(cfg.train.seed + 17)
+
+        # init state (jitted: eager init would execute op-by-op, which is
+        # pathologically slow through a remote-device tunnel)
+        key = jax.random.PRNGKey(cfg.train.seed)
+        init_batch = self._dummy_batch()
+
+        @jax.jit
+        def _init(key, b):
+            return self.model.init(
+                {"params": key, "dropout": key}, b["text"],
+                b["text_lengths"], b["spec"], b["spec_lengths"], b["refer"],
+                b["refer_lengths"], b["tone"], b["language"],
+                rng=key)["params"]
+
+        params = _init(key, init_batch)
+        opt_state = self.tx.init(params)
+        self.state = {"params": params, "opt_state": opt_state,
+                      "step": jnp.asarray(0, jnp.int32), "rng": key}
+
+        train_step = make_train_step(self.model, self.tx, cfg)
+        repl = mesh_lib.replicated_sharding(self.mesh)
+        self.accum = max(1, cfg.train.gradient_accumulate_every)
+        if self.accum == 1:
+            data_sh = mesh_lib.batch_sharding(self.mesh)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data_sh = NamedSharding(self.mesh, P(None, "data"))
+        self._data_sh = data_sh
+        state_sh = jax.tree_util.tree_map(lambda _: repl, self.state)
+        batch_sh = {k: data_sh for k in
+                    ("text", "tone", "language", "spec", "refer",
+                     "text_lengths", "spec_lengths", "refer_lengths")}
+        self.train_step = jax.jit(
+            train_step,
+            in_shardings=(state_sh, batch_sh),
+            out_shardings=(state_sh, repl),
+            donate_argnums=(0,))
+        self.state = jax.device_put(self.state, repl)
+
+    def _dummy_batch(self, b: int = 2):
+        c = self.cfg.data.n_mel_channels
+        tl = self.cfg.data.max_text_len * 2 + 1 if self.cfg.data.add_blank \
+            else self.cfg.data.max_text_len
+        ty = self.cfg.data.max_mel_len
+        s = ty * 2 // 3 + 1
+        return {
+            "text": np.zeros((b, tl), np.int32),
+            "tone": np.zeros((b, tl), np.int32),
+            "language": np.zeros((b, tl), np.int32),
+            "spec": np.zeros((b, ty, c), np.float32),
+            "refer": np.zeros((b, s, c), np.float32),
+            "text_lengths": np.full(b, tl, np.int32),
+            "spec_lengths": np.full(b, ty, np.int32),
+            "refer_lengths": np.full(b, s, np.int32),
+        }
+
+    # -- checkpoint --------------------------------------------------------
+
+    def save(self, step: int):
+        if jax.process_index() != 0:
+            return
+        ckpt_lib.save_checkpoint(
+            self.logs_folder, step,
+            {"params": jax.device_get(self.state["params"]),
+             "opt_state": jax.device_get(self.state["opt_state"])},
+            keep=self.cfg.train.keep_ckpts)
+
+    def load(self, path: str):
+        step, saved = ckpt_lib.load_checkpoint(path)
+        from flax import serialization
+        params = serialization.from_state_dict(
+            jax.device_get(self.state["params"]), saved["params"])
+        if "opt_state" in saved:
+            opt_state = serialization.from_state_dict(
+                jax.device_get(self.state["opt_state"]), saved["opt_state"])
+        else:
+            # params-only checkpoint (e.g. converted from the reference,
+            # which never saves optimizer state — model3.py:1329-1332)
+            opt_state = self.tx.init(params)
+        repl = mesh_lib.replicated_sharding(self.mesh)
+        self.state = jax.device_put(
+            {"params": params, "opt_state": opt_state,
+             "step": jnp.asarray(step, jnp.int32),
+             "rng": self.state["rng"]}, repl)
+
+    # -- loop --------------------------------------------------------------
+
+    def _host_batch(self, batch: Batch) -> Dict[str, Any]:
+        # refer1/refer2 coin flip (model3.py:1231-1234), host-side
+        if self._py_rng.random() < 0.5:
+            refer, refer_lengths = batch.refer1, batch.refer1_lengths
+        else:
+            refer, refer_lengths = batch.refer2, batch.refer2_lengths
+        return {
+            "text": batch.text, "tone": batch.tone,
+            "language": batch.language, "spec": batch.spec,
+            "refer": refer,
+            "text_lengths": batch.text_lengths,
+            "spec_lengths": batch.spec_lengths,
+            "refer_lengths": refer_lengths,
+        }
+
+    def _next_device_batch(self, it) -> Dict[str, Any]:
+        if self.accum == 1:
+            d = self._host_batch(next(it))
+        else:
+            micro = [self._host_batch(next(it)) for _ in range(self.accum)]
+            d = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
+        return {k: jax.device_put(v, self._data_sh) for k, v in d.items()}
+
+    def resume_latest(self) -> bool:
+        """Auto-resume from the newest checkpoint in the workdir (the
+        reference requires a manual trainer.load edit, train.py:4)."""
+        path = ckpt_lib.latest_checkpoint_path(self.logs_folder)
+        if path:
+            self.load(path)
+            print(f"resumed from {path} at step {int(self.state['step'])}")
+            return True
+        return False
+
+    def start_profiler(self, port: int = 9999):
+        """jax.profiler trace server (SURVEY.md §5.1 — the reference has no
+        profiling at all; its grad-norm probe syncs the host every step)."""
+        jax.profiler.start_server(port)
+
+    def train(self, num_steps: Optional[int] = None, log_every: int = 100):
+        try:
+            from tensorboardX import SummaryWriter
+            writer = (SummaryWriter(self.logs_folder)
+                      if jax.process_index() == 0 else None)
+        except ImportError:
+            writer = None
+        num_steps = num_steps or self.cfg.train.train_num_steps
+        log_every = max(1, min(log_every, num_steps))
+        it = iter(self.loader)
+        t0 = time.time()
+        step = int(self.state["step"])
+        while step < num_steps:
+            batch = self._next_device_batch(it)
+            try:
+                self.state, metrics = self.train_step(self.state, batch)
+            except Exception:
+                # failure containment: checkpoint before propagating so a
+                # crash (preemption, OOM) never loses more than the last
+                # interval (SURVEY.md §5.3 — the reference has none)
+                self.save(step)
+                raise
+            step += 1
+            if step % log_every == 0:
+                metrics = jax.device_get(metrics)
+                if not np.isfinite(float(metrics["loss/all"])):
+                    # NaN tripwire (the reference sprinkles asserts through
+                    # forward passes, model3.py:305-317; we check the fused
+                    # loss at logging boundaries to avoid per-step syncs)
+                    self.save(step)
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}: {metrics}")
+                dt = time.time() - t0
+                t0 = time.time()
+                sps = log_every / dt
+                if jax.process_index() == 0:
+                    line = " ".join(f"{k}={float(v):.4f}"
+                                    for k, v in sorted(metrics.items()))
+                    print(f"step {step} {line} steps/s={sps:.2f}", flush=True)
+                    if writer is not None:
+                        for k, v in metrics.items():
+                            writer.add_scalar(k, float(v), step)
+                        writer.add_scalar("perf/steps_per_sec", sps, step)
+            if step % self.cfg.train.save_and_sample_every == 0:
+                self.save(step)
+                if jax.process_index() == 0:
+                    try:
+                        self.eval_sample(step, writer)
+                    except Exception as e:  # never kill training on eval
+                        print(f"eval_sample failed: {e}", flush=True)
+        if step % self.cfg.train.save_and_sample_every != 0:
+            self.save(step)  # final checkpoint at loop exit
+        print("training complete")
+
+    def eval_sample(self, step: int, writer=None, sampling_steps: int = 30):
+        """Periodic eval synthesis (model3.py:1417-1447): sample one
+        utterance with the training prompt and log mel image + artifact."""
+        from diff_vits_tpu.models.diff_vits import synthesize
+
+        it = iter(TrainLoader(self.ds, self.cfg, batch_size=1,
+                              seed=self.cfg.train.seed + 1))
+        batch = self._host_batch(next(it))
+        if not hasattr(self, "_eval_fn"):
+            # jitted (and cached): eager synthesis would dispatch op-by-op
+            self._eval_fn = jax.jit(functools.partial(
+                synthesize, self.model, sampling_steps=sampling_steps,
+                max_len=self.cfg.data.max_mel_len))
+        mel, lengths = self._eval_fn(
+            {"params": self.state["params"]},
+            jnp.asarray(batch["text"]), jnp.asarray(batch["text_lengths"]),
+            jnp.asarray(batch["refer"]), jnp.asarray(batch["refer_lengths"]),
+            jnp.asarray(batch["tone"]), jnp.asarray(batch["language"]),
+            key=jax.random.fold_in(self.state["rng"], step))
+        mel_np = np.asarray(mel[0, :int(lengths[0])], np.float32)
+        milestone = step // self.cfg.train.save_and_sample_every
+        np.save(os.path.join(self.logs_folder,
+                             f"sample-{milestone}.mel.npy"), mel_np)
+        if writer is not None:
+            from diff_vits_tpu.utils.logging import plot_spectrogram_to_numpy
+            writer.add_image("gen/mel",
+                             plot_spectrogram_to_numpy(mel_np.T), step,
+                             dataformats="HWC")
+            gt = batch["spec"][0][:int(batch["spec_lengths"][0])]
+            writer.add_image("gt/mel", plot_spectrogram_to_numpy(gt.T), step,
+                             dataformats="HWC")

@@ -287,3 +287,139 @@ def unet_params(state, block_out_channels, layers_per_block=2,
         p[f"up_{i}"] = blk
         prev_out = out_ch
     return p
+
+
+# ---------------------------------------------------------------------------
+# Fairseq-stack transplants (operations.py / model.py -> nn/fairseq.py)
+# ---------------------------------------------------------------------------
+
+def ffn1_conv_params(state, prefix, kernel_size):
+    """Reassemble TransformerFFNLayer's k shifted Linears into one conv.
+
+    operations.py:664-682: out[t] = sum_i Linear_i(x_shifted_i[t]) * k^-0.5.
+    Taps i >= 1 use offset i - (k-1)//2; tap 0 uses the UNSHIFTED input
+    (``shifted = padded[i:T+i] if i else x``) — a reference quirk that puts
+    Linear_0 at the center offset (stacked onto Linear_{(k-1)//2}) and
+    leaves offset -(k-1)//2 empty. Only Linear_0 has a bias.
+    """
+    ws = [_get(state, _j(prefix, f"ffn_1.{i}.weight"))
+          for i in range(kernel_size)]
+    center = (kernel_size - 1) // 2
+    taps = [np.zeros_like(ws[0].T)] + [w.T for w in ws[1:]]
+    taps[center] = taps[center] + ws[0].T
+    kernel = np.stack(taps, axis=0)  # [k, in, out]
+    return {"kernel": kernel, "bias": _get(state, _j(prefix, "ffn_1.0.bias"))}
+
+
+def conv_tbc(state, prefix):
+    """ConvTBC weight [k, in, out] is already in flax layout (model.py:137)."""
+    p = {"kernel": effective_weight(state, prefix)}
+    if _j(prefix, "bias") in state:
+        p["bias"] = _get(state, _j(prefix, "bias"))
+    return p
+
+
+def conv_layer_params(state, prefix):
+    """model.ConvLayer (LN + ConvTBC) -> nn/fairseq.py:ConvLayer."""
+    return {
+        "layer_norm": layernorm(state, _j(prefix, "layer_norm")),
+        "conv": conv_tbc(state, _j(prefix, "conv")),
+    }
+
+
+def enc_sa_layer_params(state, prefix, ffn_kernel=9):
+    """operations.EncSALayer -> nn/fairseq.py:EncSALayer."""
+    return {
+        "layer_norm1": layernorm(state, _j(prefix, "layer_norm1")),
+        "layer_norm2": layernorm(state, _j(prefix, "layer_norm2")),
+        "in_proj": {"kernel": _get(
+            state, _j(prefix, "self_attn.in_proj_weight")).T},
+        "out_proj": dense_from_linear(state, _j(prefix, "self_attn.out_proj")),
+        "ffn": {
+            "ffn_1": ffn1_conv_params(state, _j(prefix, "ffn"), ffn_kernel),
+            "ffn_2": dense_from_linear(state, _j(prefix, "ffn.ffn_2")),
+        },
+    }
+
+
+def prompt_encoder_params(state, prefix, n_layers, has_g=False):
+    """model3.PromptEncoder -> models/encoders.py:PromptEncoder."""
+    p = {
+        "pre": conv_layer_params(state, _j(prefix, "pre")),
+        "out_proj": conv_layer_params(state, _j(prefix, "out_proj")),
+        "layer_norm": layernorm(state, _j(prefix, "layer_norm")),
+    }
+    if has_g:
+        p["g_proj"] = dense_from_conv1x1(state, _j(prefix, "g_proj"))
+    for i in range(n_layers):
+        p[f"layer_{i}"] = enc_sa_layer_params(
+            state, _j(prefix, f"layers.{i}.op"))
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Full-model transplants (model3.py -> models/)
+# ---------------------------------------------------------------------------
+
+def text_encoder_params(state, prefix, n_layers):
+    return {
+        "emb": embedding(state, _j(prefix, "emb")),
+        "tone_emb": embedding(state, _j(prefix, "tone_emb")),
+        "language_emb": embedding(state, _j(prefix, "language_emb")),
+        "encoder": encoder_params(state, _j(prefix, "encoder"), n_layers,
+                                  window_size=4, has_spk=True),
+        "proj": dense_from_conv1x1(state, _j(prefix, "proj")),
+    }
+
+
+def posterior_encoder_params(state, prefix, n_layers, gin):
+    return {
+        "pre": dense_from_conv1x1(state, _j(prefix, "pre")),
+        "enc": wn_params(state, _j(prefix, "enc"), n_layers,
+                         gin_channels=gin),
+        "proj": dense_from_conv1x1(state, _j(prefix, "proj")),
+    }
+
+
+def duration_predictor_unet_params(state, prefix, hidden=256):
+    block_out = (hidden // 4, hidden // 4, hidden // 2, hidden // 2)
+    return {
+        "prompt_proj": dense_from_conv1x1(state, _j(prefix, "prompt_proj")),
+        "pre": dense_from_conv1x1(state, _j(prefix, "pre")),
+        "enc": unet_params(state, block_out, prefix=_j(prefix, "enc")),
+    }
+
+
+def vits_params(state, prefix="vits", n_layers_enc=6, posterior_layers=16,
+                gin=256, o_proj_layers=6):
+    """model3.VITS state_dict -> models/vits.py:VITS params."""
+    return {
+        "enc_p": text_encoder_params(state, _j(prefix, "enc_p"), n_layers_enc),
+        "enc_q": posterior_encoder_params(
+            state, _j(prefix, "enc_q"), posterior_layers, gin),
+        "ref_enc": _text_time_embedding_params(state, _j(prefix, "ref_enc")),
+        "dp": duration_predictor_unet_params(state, _j(prefix, "dp")),
+        "o_proj": prompt_encoder_params(
+            state, _j(prefix, "o_proj"), o_proj_layers, has_g=True),
+    }
+
+
+def diffusion_encoder_params(state, prefix="diff_model",
+                             block_out=(128, 256, 384, 512),
+                             n_prompt_layers=4):
+    return {
+        "prompt_encoder": prompt_encoder_params(
+            state, _j(prefix, "prompt_encoder"), n_prompt_layers),
+        "unet": unet_params(state, block_out, prefix=_j(prefix, "unet")),
+    }
+
+
+def diff_vits_params(state, **kwargs):
+    """Full NaturalSpeech2 checkpoint (model3.py:954) -> DiffVits params."""
+    return {
+        "vits": vits_params(state, "vits", **{
+            k: v for k, v in kwargs.items()
+            if k in ("n_layers_enc", "posterior_layers", "gin",
+                     "o_proj_layers")}),
+        "diff_model": diffusion_encoder_params(state, "diff_model"),
+    }

@@ -1,0 +1,53 @@
+"""Stub the reference's heavyweight/unavailable deps so model3 imports.
+
+model3.py pulls in vocos / accelerate / torchaudio / ema_pytorch / numba
+(via monotonic_align) / librosa (via utils) at import time; none of those
+affect the forward math we test. monotonic_align.maximum_path is replaced by
+our native C++ kernel so the full VITS forward runs.
+"""
+import sys
+import types
+
+import numpy as np
+
+
+def install():
+    def mod(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules.setdefault(name, m)
+        return sys.modules[name]
+
+    class _Dummy:
+        def __init__(self, *a, **k):
+            pass
+
+        @classmethod
+        def from_pretrained(cls, *a, **k):
+            return cls()
+
+    mod("vocos", Vocos=_Dummy)
+    mod("torchaudio", load=None, save=None)
+    mod("torchaudio.transforms", Resample=_Dummy, MelSpectrogram=_Dummy,
+        Spectrogram=_Dummy)
+    sys.modules["torchaudio"].transforms = sys.modules["torchaudio.transforms"]
+    mod("accelerate", Accelerator=_Dummy,
+        DistributedDataParallelKwargs=_Dummy)
+    mod("ema_pytorch", EMA=_Dummy)
+    mod("librosa")
+    mod("librosa.core")
+
+    # monotonic_align backed by our native kernel
+    import torch
+    from diff_vits_tpu.ops.mas_native import maximum_path_native
+
+    def maximum_path(neg_cent, mask):
+        device, dtype = neg_cent.device, neg_cent.dtype
+        nc = neg_cent.detach().cpu().numpy().astype(np.float32)
+        t_ys = mask.sum(1)[:, 0].cpu().numpy().astype(np.int32)
+        t_xs = mask.sum(2)[:, 0].cpu().numpy().astype(np.int32)
+        path = maximum_path_native(nc, t_ys, t_xs)
+        return torch.from_numpy(path).to(device=device, dtype=dtype)
+
+    mod("monotonic_align", maximum_path=maximum_path)

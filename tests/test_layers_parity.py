@@ -165,13 +165,13 @@ def test_convflow_parity():
 
 
 def test_enc_sa_layer_parity():
-    """EncSALayer (op code 8) vs ours, via model.TransformerEncoderLayer."""
-    from model import TransformerEncoderLayer
+    """EncSALayer (op code 8) vs ours, via the operations registry."""
+    from operations import OPERATIONS_ENCODER
     from diff_vits_tpu.nn import fairseq as fs
 
     c = 32
-    ref = TransformerEncoderLayer(8, c, 0.0).eval()
-    state = ref.state_dict()
+    ref = OPERATIONS_ENCODER[8](c, 0.0).eval()
+    state = {f"op.{k}": v for k, v in ref.state_dict().items()}
 
     rng = np.random.default_rng(5)
     b, t = 2, 14
@@ -194,7 +194,7 @@ def test_enc_sa_layer_parity():
         "in_proj": {"kernel": tp._get(state, "op.self_attn.in_proj_weight").T},
         "out_proj": tp.dense_from_linear(state, "op.self_attn.out_proj"),
         "ffn": {
-            "ffn_1": _ffn1_conv_params(state, "op.ffn", 9, c),
+            "ffn_1": tp.ffn1_conv_params(state, "op.ffn", 9),
             "ffn_2": tp.dense_from_linear(state, "op.ffn.ffn_2"),
         },
     }
@@ -202,17 +202,3 @@ def test_enc_sa_layer_parity():
     np.testing.assert_allclose(np.asarray(out), out_ref, atol=2e-4)
 
 
-def _ffn1_conv_params(state, prefix, kernel_size, c):
-    """Reassemble the reference's k shifted Linears into one conv kernel.
-
-    TransformerFFNLayer (operations.py:644) computes
-      sum_i Linear_i(x shifted by i - (k-1)//2)  * k^-0.5
-    which equals a SAME conv whose kernel tap j uses Linear_j's weight.
-    """
-    ws = [tp._get(state, f"{prefix}.ffn_1.{i}.weight") for i in range(kernel_size)]
-    # torch Linear weight [out, in]; conv kernel [k, in, out].
-    # padded[i : T+i] pairs tap i with input offset i - pad, i.e. conv kernel
-    # position i (flax conv kernels are cross-correlation like torch).
-    kernel = np.stack([w.T for w in ws], axis=0)
-    bias = tp._get(state, f"{prefix}.ffn_1.0.bias")
-    return {"kernel": kernel, "bias": bias}

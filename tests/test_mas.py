@@ -74,3 +74,37 @@ def test_mas_path_properties():
         # monotonic non-decreasing token index
         idx = p.argmax(1)
         assert (np.diff(idx) >= 0).all()
+
+
+def test_mas_pallas_interpret_matches_scan():
+    """Pallas kernel (interpret mode on CPU) vs the scan implementation."""
+    from diff_vits_tpu.ops.mas_pallas import maximum_path_pallas
+
+    rng = np.random.default_rng(7)
+    b, T_y, T_x = 3, 41, 11
+    t_ys = np.array([41, 30, 25])
+    t_xs = np.array([11, 7, 5])
+    neg_cent = rng.normal(size=(b, T_y, T_x)).astype(np.float32)
+    y_mask = masking.sequence_mask(jnp.asarray(t_ys), T_y).astype(jnp.float32)
+    x_mask = masking.sequence_mask(jnp.asarray(t_xs), T_x).astype(jnp.float32)
+    mask = y_mask[:, :, None] * x_mask[:, None, :]
+
+    scan_path = np.asarray(maximum_path(jnp.asarray(neg_cent), mask))
+    pallas_path = np.asarray(
+        maximum_path_pallas(jnp.asarray(neg_cent), mask, interpret=True))
+    np.testing.assert_array_equal(pallas_path, scan_path)
+
+
+def test_mas_native_matches_oracle():
+    """C++ host kernel vs the numpy oracle."""
+    from diff_vits_tpu.ops.mas_native import maximum_path_native
+
+    rng = np.random.default_rng(11)
+    b, T_y, T_x = 5, 64, 17
+    t_xs = rng.integers(2, T_x + 1, size=b)
+    t_ys = np.maximum(rng.integers(T_x, T_y + 1, size=b), t_xs)
+    neg_cent = rng.normal(size=(b, T_y, T_x)).astype(np.float32)
+
+    native = maximum_path_native(neg_cent, t_ys, t_xs)
+    oracle = numpy_maximum_path(neg_cent, t_ys, t_xs)
+    np.testing.assert_array_equal(native, oracle)

@@ -46,6 +46,7 @@ def test_unet_parity(length):
         cross_attention_dim=cross_dim,
         attention_head_dim=heads,
         addition_embed_type="text",
+        addition_embed_type_num_heads=8,
         resnet_time_scale_shift="scale_shift",
     ).eval()
     state = ref.state_dict()
@@ -69,7 +70,8 @@ def test_unet_parity(length):
         in_channels=in_ch, out_channels=out_ch,
         block_out_channels=block_out, norm_num_groups=8,
         cross_attention_dim=cross_dim, attention_head_dim=heads,
-        addition_embed_type="text", resnet_time_scale_shift="scale_shift")
+        addition_embed_type="text", addition_embed_type_num_heads=8,
+        resnet_time_scale_shift="scale_shift")
     params = tp.unet_params(state, block_out)
     out = model.apply({"params": params}, jnp.asarray(x), jnp.asarray(t),
                       jnp.asarray(ctx), encoder_attention_mask=jnp.asarray(keep))
