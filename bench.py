@@ -4,10 +4,15 @@ Measures the full flagship inference pipeline (VITS prior + 30-step UniPC
 diffusion over the 228-ch UNet1D, reference production config) and prints ONE
 JSON line. ``vs_baseline`` is the ratio against BASELINE.json's target of
 5x real-time per chip.
+
+``python bench.py train`` instead measures training throughput (jitted SPMD
+train step, production config, no checkpoint/eval overhead) and reports
+mel-frames/sec/chip.
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -84,5 +89,73 @@ def main():
     }))
 
 
+def main_train(batch_size: int = 8):
+    """Training-step throughput at production config (mel-frames/s/chip)."""
+    from diff_vits_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from diff_vits_tpu.core.config import Config
+    from diff_vits_tpu.models.diff_vits import DiffVits
+    from diff_vits_tpu.parallel import mesh as mesh_lib
+    from diff_vits_tpu.text.symbols import symbols
+    from diff_vits_tpu.train.trainer import make_optimizer, make_train_step
+
+    cfg = Config()
+    model = DiffVits(cfg, n_vocab=len(symbols), dtype=jnp.bfloat16)
+    tx = make_optimizer(cfg)
+    mesh = mesh_lib.make_mesh()
+
+    b = batch_size
+    t_x = cfg.data.max_text_len * 2 + 1
+    t_y = cfg.data.max_mel_len
+    s = t_y * 2 // 3 + 1
+    c = cfg.data.n_mel_channels
+    rng = np.random.default_rng(0)
+    batch = {
+        "text": jnp.asarray(rng.integers(1, 100, (b, t_x)), jnp.int32),
+        "tone": jnp.zeros((b, t_x), jnp.int32),
+        "language": jnp.zeros((b, t_x), jnp.int32),
+        "spec": jnp.asarray(rng.normal(size=(b, t_y, c)), jnp.float32),
+        "refer": jnp.asarray(rng.normal(size=(b, s, c)), jnp.float32),
+        "text_lengths": jnp.full(b, t_x, jnp.int32),
+        "spec_lengths": jnp.full(b, t_y, jnp.int32),
+        "refer_lengths": jnp.full(b, s, jnp.int32),
+    }
+
+    key = jax.random.PRNGKey(0)
+    init = jax.jit(lambda k: model.init(
+        {"params": k, "dropout": k}, batch["text"], batch["text_lengths"],
+        batch["spec"], batch["spec_lengths"], batch["refer"],
+        batch["refer_lengths"], batch["tone"], batch["language"],
+        rng=k)["params"])
+    params = init(key)
+    state = {"params": params, "opt_state": tx.init(params),
+             "step": jnp.asarray(0, jnp.int32), "rng": key}
+    step_fn = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
+
+    state, metrics = step_fn(state, batch)  # compile + 1 step
+    jax.block_until_ready(metrics["loss/all"])
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss/all"])
+    dt = (time.perf_counter() - t0) / n_iters
+
+    frames_per_s = b * t_y / dt
+    print(json.dumps({
+        "metric": "train_mel_frames_per_s_per_chip",
+        "value": round(frames_per_s, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": None,
+        "detail": {"step_time_s": round(dt, 4), "batch": b,
+                   "frames_per_utt": t_y,
+                   "steps_per_s": round(1 / dt, 3),
+                   "loss": float(metrics["loss/all"])},
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "train":
+        main_train(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+    else:
+        main()

@@ -64,6 +64,14 @@ def main():
                         choices=["unipc", "dpmsolver", "ddim", "ddpm"])
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out_dir", type=str, default="output")
+    parser.add_argument("--vocoder", type=str, default="auto",
+                        choices=["auto", "jax", "torch", "none"],
+                        help="waveform decoder: 'jax' = our Vocos port "
+                             "(needs --vocoder_ckpt), 'torch' = external "
+                             "vocos package, 'none' = mel only")
+    parser.add_argument("--vocoder_ckpt", type=str, default=None,
+                        help="Vocos weights: torch state_dict (.bin/.pt) "
+                             "converted on the fly, or our .ckpt")
     args = parser.parse_args()
 
     cfg = load_config(args.config_path) if os.path.exists(args.config_path) \
@@ -95,10 +103,40 @@ def main():
     np.save(base + ".mel.npy", mel)
     print(f"mel saved: {base}.mel.npy shape={mel.shape}")
 
+    if args.vocoder == "none":
+        return
+    if args.vocoder in ("auto", "jax") and (args.vocoder_ckpt
+                                            or args.vocoder == "jax"):
+        from diff_vits_tpu.models.vocoder import Vocos, convert_torch_vocos
+        voc = Vocos(n_mels=cfg.data.n_mel_channels,
+                    n_fft=cfg.data.window_size,
+                    hop_length=cfg.data.hop_length)
+        if args.vocoder_ckpt:
+            if args.vocoder_ckpt.endswith((".bin", ".pt", ".pth")):
+                import torch
+                sd = torch.load(args.vocoder_ckpt, map_location="cpu",
+                                weights_only=True)
+                sd = {k: v.numpy() for k, v in sd.items()}
+                vparams = convert_torch_vocos(sd)
+            else:
+                _, vsaved = ckpt_lib.load_checkpoint(args.vocoder_ckpt)
+                vparams = vsaved["params"] if "params" in vsaved else vsaved
+        else:
+            print("warning: no --vocoder_ckpt; using random-init vocoder "
+                  "(audio will be noise)")
+            vparams = voc.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 8, cfg.data.n_mel_channels),
+                                         jnp.float32))["params"]
+        audio = jax.jit(lambda m: voc.apply({"params": vparams}, m))(
+            jnp.asarray(mel[None]))
+        audio_lib.write_wav(base + ".wav", np.asarray(audio[0], np.float32),
+                            cfg.data.sampling_rate)
+        print(f"wav saved: {base}.wav")
+        return
     try:
         import torch
-        from vocos import Vocos
-        vocos = Vocos.from_pretrained("charactr/vocos-mel-24khz")
+        from vocos import Vocos as TorchVocos
+        vocos = TorchVocos.from_pretrained("charactr/vocos-mel-24khz")
         audio = vocos.decode(torch.tensor(mel.T[None]))
         audio_lib.write_wav(base + ".wav", audio[0].numpy(), 24000)
         print(f"wav saved: {base}.wav")

@@ -126,8 +126,13 @@ def synthesize(
     max_len: Optional[int] = None,
     noise_scale: float = 0.667,
     length_scale: float = 1.0,
+    init_noise: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """text + prompt-mel -> mel. Parity: model3.py:1121-1203 (`sample`).
+
+    ``init_noise`` optionally injects the initial diffusion state x_T
+    [B, Ty, C] (for fixed-seed golden comparison against the reference —
+    PRNG streams can't match across frameworks, so noise is an input).
 
     Returns (mel [B, Ty, 100], out_lengths [B]).
     """
@@ -145,7 +150,10 @@ def synthesize(
     ns = NoiseScheduleVP(linear_beta_schedule(model.cfg.train.timesteps))
     b, t_y = content.shape[0], content.shape[1]
     c_mel = model.cfg.diffusion_encoder.out_channels
-    x = jax.random.normal(k_init, (b, t_y, c_mel), jnp.float32)
+    if init_noise is not None:
+        x = init_noise.astype(jnp.float32)
+    else:
+        x = jax.random.normal(k_init, (b, t_y, c_mel), jnp.float32)
 
     def x0_fn(x, t_discrete):
         return model.apply(params, x, t_discrete, content, refer,

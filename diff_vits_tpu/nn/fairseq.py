@@ -215,6 +215,71 @@ class EncLocalSALayer(nn.Module):
         return (residual + h) * keep_mask
 
 
+class EncGausSALayer(nn.Module):
+    """Gaussian-bias self-attention block. Parity: operations.py:115-147
+    (``EncGausSALayer``) + ``SelfAttention`` (operations.py:29-112).
+
+    Per-head learnable temperature ``tao``; attention scores get an additive
+    locality prior ``-(i-j)^2/2 * tao^-4``. Registry code 13
+    (operations.py:969) instantiates it single-head. The reference
+    pre-builds a 3000x3000 bias matrix on host; here the bias is computed
+    inline from a broadcasted iota and fused by XLA.
+    """
+    num_heads: int = 1
+    dropout: float = 0.0
+    attention_dropout: float = 0.1
+    relu_dropout: float = 0.1
+    gaus_bias: bool = False
+    gaus_tao: float = 10.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, keep_mask, *, deterministic: bool = True):
+        c = x.shape[-1]
+        head_dim = c // self.num_heads
+
+        residual = x
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x)
+        q = nn.Dense(c, dtype=self.dtype, name="w_q")(h)
+        k = nn.Dense(c, dtype=self.dtype, name="w_k")(h)
+        v = nn.Dense(c, dtype=self.dtype, name="w_v")(h)
+        b, t, _ = q.shape
+
+        def split_heads(t_):
+            return t_.reshape(b, t, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        qh = split_heads(q) * head_dim ** -0.5
+        kh, vh = split_heads(k), split_heads(v)
+        scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh)
+        if self.gaus_bias:
+            tao = self.param("tao", lambda _k: jnp.full(
+                (self.num_heads,), self.gaus_tao, jnp.float32))
+            i = jnp.arange(t, dtype=jnp.float32)
+            gauss = -((i[None, :] - i[:, None]) ** 2) / 2.0  # [Tq, Tk]
+            scores = scores + (gauss[None, None]
+                               * (tao ** -4.0)[None, :, None, None])
+        pad = (keep_mask[:, None, None, :, 0] == 0)
+        scores = jnp.where(pad, -jnp.inf, scores)
+        p = jax.nn.softmax(scores, axis=-1)
+        p = nn.Dropout(self.attention_dropout, deterministic=deterministic)(p)
+        out = jnp.einsum("bhts,bhsd->bhtd", p, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
+        out = nn.Dense(c, dtype=self.dtype, name="fc")(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        # NOTE: unlike EncSALayer, the reference never re-masks the residual
+        # stream here (operations.py:126-147) — padded rows flow into valid
+        # ones through the width-9 FFN conv; kept for exact parity
+        x = residual + out
+
+        residual = x
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
+        h = TransformerFFNLayer(4 * c, c, kernel_size=9,
+                                dropout=self.relu_dropout, dtype=self.dtype,
+                                name="ffn")(h, deterministic=deterministic)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return residual + h
+
+
 class EncLSTMLayer(nn.Module):
     """Bi-LSTM residual block. Capability parity: operations.py:882-903
     (registry code 12). The recurrence runs as two ``lax.scan`` passes."""
@@ -258,6 +323,9 @@ OPERATIONS_ENCODER = {
     10: lambda c, dropout, dtype=jnp.float32: EncSALayer(8, dropout, dtype=dtype),
     11: lambda c, dropout, dtype=jnp.float32: EncLocalSALayer(2, dropout, dtype=dtype),
     12: lambda c, dropout, dtype=jnp.float32: EncLSTMLayer(dropout, dtype=dtype),
+    13: lambda c, dropout, dtype=jnp.float32, g_bias=True, tao=10.0:
+        EncGausSALayer(1, dropout, gaus_bias=g_bias, gaus_tao=tao,
+                       dtype=dtype),
     14: lambda c, dropout, dtype=jnp.float32: EncSALayer(2, dropout, kernel_size=1, dtype=dtype),
     15: lambda c, dropout, dtype=jnp.float32: EncSALayer(2, dropout, kernel_size=15, dtype=dtype),
 }

@@ -57,12 +57,54 @@ def shard_batch(mesh: Mesh, batch):
         lambda x: jax.device_put(x, sharding), batch)
 
 
-def param_sharding_rules(mesh: Mesh, params):
-    """Parameter shardings: replicated by default.
+# Megatron-style tensor parallelism by parameter path. "Column" kernels
+# shard their output features over the 'model' axis (the activation comes
+# out sharded on heads/hidden); the matching "row" kernel shards its input
+# features, and GSPMD inserts the single AllReduce that completes the block.
+# Everything else (norms, embeddings, small convs) stays replicated.
+_COLUMN_HINTS = ("to_q", "to_k", "to_v", "in_proj", "w_q", "w_k", "w_v",
+                 "ffn_1", "ff/proj", "pwconv1", "query", "key", "value")
+_ROW_HINTS = ("to_out", "out_proj", "ffn_2", "ff/out", "pwconv2", "fc")
 
-    The UNet is ~O(50M) params — comfortably replicated on v5e (16 GB HBM).
-    A 'model' axis rule set (shard attention/ffn kernels over 'model') can be
-    layered in here when configs outgrow a single HBM.
+
+def _tp_spec(path: str, leaf, model_size: int, min_size: int) -> P:
+    if model_size <= 1 or getattr(leaf, "ndim", 0) < 2 \
+            or leaf.size < min_size:
+        return P()
+    if any(h in path for h in _COLUMN_HINTS) and \
+            leaf.shape[-1] % model_size == 0:
+        return P(*([None] * (leaf.ndim - 1) + ["model"]))
+    if any(h in path for h in _ROW_HINTS) and \
+            leaf.shape[-2] % model_size == 0:
+        return P(*([None] * (leaf.ndim - 2) + ["model", None]))
+    return P()
+
+
+def param_sharding_rules(mesh: Mesh, params, min_size: int = 1 << 16):
+    """Parameter shardings: replicated, with Megatron col/row tensor
+    parallelism over the 'model' axis when the mesh has one (>1).
+
+    The flagship UNet is ~O(100M) params — comfortably replicated on v5e
+    (16 GB HBM); the 'model' axis exists for configs that outgrow one HBM
+    and for latency scaling of the denoise loop. Kernels smaller than
+    ``min_size`` elements stay replicated (sharding them costs more in
+    collectives than it saves).
     """
-    repl = replicated_sharding(mesh)
-    return jax.tree_util.tree_map(lambda _: repl, params)
+    return state_sharding_rules(mesh, params, min_size)
+
+
+def state_sharding_rules(mesh: Mesh, state, min_size: int = 1 << 16):
+    """Shardings for a params tree or full train state
+    {params, opt_state, step, rng}.
+
+    Optimizer moments mirror the params tree, so the same path-based rules
+    apply (the param path is a suffix of the moment path); scalars and PRNG
+    keys are replicated.
+    """
+    model_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+
+    def spec(path_entries, leaf):
+        path = "/".join(str(getattr(e, "key", e)) for e in path_entries)
+        return NamedSharding(mesh, _tp_spec(path, leaf, model_size, min_size))
+
+    return jax.tree_util.tree_map_with_path(spec, state)

@@ -220,10 +220,16 @@ def _load_cmudict():
     global _cmudict_cache
     if _cmudict_cache is not None:
         return _cmudict_cache
-    path = os.environ.get("DIFF_VITS_CMUDICT")
+    candidates = [
+        os.environ.get("DIFF_VITS_CMUDICT"),
+        os.path.join(os.path.dirname(__file__), "cmudict.rep"),
+        # common locations for the public-domain CMU dictionary
+        "/root/reference/text/cmudict.rep",
+        os.path.expanduser("~/nltk_data/corpora/cmudict/cmudict"),
+        "/usr/share/dict/cmudict",
+    ]
+    path = next((p for p in candidates if p and os.path.exists(p)), None)
     if path is None:
-        path = os.path.join(os.path.dirname(__file__), "cmudict.rep")
-    if not os.path.exists(path):
         raise FileNotFoundError(
             "English G2P needs a CMU dictionary file; set DIFF_VITS_CMUDICT "
             "or place cmudict.rep next to this module.")

@@ -161,7 +161,9 @@ class Trainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
             data_sh = NamedSharding(self.mesh, P(None, "data"))
         self._data_sh = data_sh
-        state_sh = jax.tree_util.tree_map(lambda _: repl, self.state)
+        # params/opt-state: replicated for DP, Megatron col/row-sharded over
+        # the 'model' axis when the mesh has one
+        state_sh = mesh_lib.state_sharding_rules(self.mesh, self.state)
         batch_sh = {k: data_sh for k in
                     ("text", "tone", "language", "spec", "refer",
                      "text_lengths", "spec_lengths", "refer_lengths")}
@@ -170,7 +172,7 @@ class Trainer:
             in_shardings=(state_sh, batch_sh),
             out_shardings=(state_sh, repl),
             donate_argnums=(0,))
-        self.state = jax.device_put(self.state, repl)
+        self.state = jax.device_put(self.state, state_sh)
 
     def _dummy_batch(self, b: int = 2):
         c = self.cfg.data.n_mel_channels
@@ -212,11 +214,11 @@ class Trainer:
             # params-only checkpoint (e.g. converted from the reference,
             # which never saves optimizer state — model3.py:1329-1332)
             opt_state = self.tx.init(params)
-        repl = mesh_lib.replicated_sharding(self.mesh)
+        new_state = {"params": params, "opt_state": opt_state,
+                     "step": jnp.asarray(step, jnp.int32),
+                     "rng": self.state["rng"]}
         self.state = jax.device_put(
-            {"params": params, "opt_state": opt_state,
-             "step": jnp.asarray(step, jnp.int32),
-             "rng": self.state["rng"]}, repl)
+            new_state, mesh_lib.state_sharding_rules(self.mesh, new_state))
 
     # -- loop --------------------------------------------------------------
 
@@ -243,6 +245,34 @@ class Trainer:
             d = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
         return {k: jax.device_put(v, self._data_sh) for k, v in d.items()}
 
+    def _prefetch(self, it, depth: int = 2):
+        """Double-buffered device-batch iterator: host batch assembly and
+        H2D transfer overlap the previous step's compute (the reference
+        blocks on ``data.to(device)`` every step, model3.py:1367-1368)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                while not stop.is_set():
+                    q.put(self._next_device_batch(it))
+            except BaseException as e:  # surface errors on the main thread
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
     def resume_latest(self) -> bool:
         """Auto-resume from the newest checkpoint in the workdir (the
         reference requires a manual trainer.load edit, train.py:4)."""
@@ -267,11 +297,11 @@ class Trainer:
             writer = None
         num_steps = num_steps or self.cfg.train.train_num_steps
         log_every = max(1, min(log_every, num_steps))
-        it = iter(self.loader)
+        batches = self._prefetch(iter(self.loader))
         t0 = time.time()
         step = int(self.state["step"])
         while step < num_steps:
-            batch = self._next_device_batch(it)
+            batch = next(batches)
             try:
                 self.state, metrics = self.train_step(self.state, batch)
             except Exception:

@@ -1,0 +1,120 @@
+"""North-star correctness gate: full-chain sampling parity vs the reference.
+
+Transplants an entire reference ``NaturalSpeech2`` state_dict and compares
+``model3.sample`` (text -> VITS prior -> 30-step UniPC over the UNet -> mel)
+against our ``synthesize`` with identical injected initial noise and zeroed
+prior noise (PRNG streams can't match across frameworks, so noise is an
+input — SURVEY.md §7.3.2, BASELINE.json fixed-seed mel allclose).
+"""
+import numpy as np
+import pytest
+
+from tests.conftest import reference_available, add_reference_to_path
+
+if not reference_available():
+    pytest.skip("reference not mounted", allow_module_level=True)
+add_reference_to_path()
+
+from tests import ref_stubs  # noqa: E402
+
+ref_stubs.install()
+
+import torch  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from diff_vits_tpu.core.config import (  # noqa: E402
+    Config, DataConfig, DiffusionEncoderConfig, TrainConfig, VitsConfig)
+from diff_vits_tpu.models.diff_vits import DiffVits, synthesize  # noqa: E402
+from diff_vits_tpu.utils import transplant as tp  # noqa: E402
+
+torch.manual_seed(0)
+
+
+class _DummyVocos:
+    def to(self, device):
+        return self
+
+    def decode(self, mel):
+        return torch.zeros(mel.shape[0], 1, 8)
+
+
+@pytest.mark.slow
+def test_e2e_unipc_sample_parity(monkeypatch):
+    import model3
+    from text import symbols
+
+    # small-but-faithful config; vits hidden must stay 256 (the reference
+    # UNet duration predictor hard-codes it, model3.py:291-301)
+    ref_cfg = {
+        "data": {"window_size": 1024},
+        "train": {"timesteps": 1000},
+        "vits": {
+            "inter_channels": 128, "hidden_channels": 256,
+            "filter_channels": 64, "n_heads": 2, "n_layers": 3,
+            "kernel_size": 3, "p_dropout": 0.0, "gin_channels": 32,
+        },
+        "diffusion_encoder": {
+            "in_channels": 100, "out_channels": 100,
+            "hidden_channels": 128, "n_heads": 8, "p_dropout": 0.0,
+        },
+    }
+    ref = model3.NaturalSpeech2(ref_cfg).eval()
+    state = ref.state_dict()
+
+    rng = np.random.default_rng(2)
+    b, t_x, s = 1, 10, 36
+    text = rng.integers(1, len(symbols), (b, t_x)).astype(np.int64)
+    tone = rng.integers(0, 6, (b, t_x)).astype(np.int64)
+    lang = np.zeros((b, t_x), np.int64)
+    refer = rng.normal(size=(b, s, 100)).astype(np.float32)
+    text_lengths = np.array([t_x], np.int64)
+    refer_lengths = np.array([s], np.int64)
+
+    # zero the prior noise; capture + fix the initial diffusion noise
+    monkeypatch.setattr(torch, "randn_like", lambda x: torch.zeros_like(x))
+    captured = {}
+    real_randn = torch.randn
+
+    def fixed_randn(*shape, **kw):
+        arr = real_randn(*shape, generator=torch.Generator().manual_seed(7),
+                         **{k: v for k, v in kw.items() if k != "device"})
+        captured["noise"] = arr.clone()
+        return arr
+
+    monkeypatch.setattr(torch, "randn", fixed_randn)
+
+    with torch.no_grad():
+        _, mel_ref = ref.sample(
+            torch.tensor(text), torch.tensor(refer).transpose(1, 2),
+            torch.tensor(text_lengths), torch.tensor(refer_lengths),
+            torch.tensor(tone), torch.tensor(lang), _DummyVocos(),
+            sample_method="unipc")
+    mel_ref = mel_ref.numpy().transpose(0, 2, 1)  # [B, Ty, 100]
+    t_ref = mel_ref.shape[1]
+
+    cfg = Config(
+        train=TrainConfig(timesteps=1000),
+        data=DataConfig(),
+        vits=VitsConfig(inter_channels=128, hidden_channels=256,
+                        filter_channels=64, n_heads=2, n_layers=3,
+                        kernel_size=3, p_dropout=0.0, gin_channels=32),
+        diffusion_encoder=DiffusionEncoderConfig(p_dropout=0.0),
+    )
+    model = DiffVits(cfg, n_vocab=len(symbols))
+    params = {"params": tp.diff_vits_params(
+        state, n_layers_enc=3, posterior_layers=16, gin=32)}
+
+    init_noise = captured["noise"].numpy().transpose(0, 2, 1)  # [B, Ty, 100]
+    assert init_noise.shape[1] == t_ref
+
+    mel, out_lengths = synthesize(
+        model, params, jnp.asarray(text.astype(np.int32)),
+        jnp.asarray(text_lengths.astype(np.int32)), jnp.asarray(refer),
+        jnp.asarray(refer_lengths.astype(np.int32)),
+        jnp.asarray(tone.astype(np.int32)), jnp.asarray(lang.astype(np.int32)),
+        key=jax.random.PRNGKey(0), sampling_steps=30, sample_method="unipc",
+        noise_scale=0.0, max_len=t_ref, init_noise=jnp.asarray(init_noise))
+
+    assert int(out_lengths[0]) == t_ref, (int(out_lengths[0]), t_ref)
+    np.testing.assert_allclose(np.asarray(mel), mel_ref, atol=5e-3)

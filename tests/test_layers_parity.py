@@ -202,3 +202,49 @@ def test_enc_sa_layer_parity():
     np.testing.assert_allclose(np.asarray(out), out_ref, atol=2e-4)
 
 
+
+
+def test_enc_gaus_sa_layer_parity():
+    """EncGausSALayer (op code 13, gaussian locality bias) vs ours."""
+    from operations import OPERATIONS_ENCODER
+    from diff_vits_tpu.nn import fairseq as fs
+
+    c = 32
+    ref = OPERATIONS_ENCODER[13](c, 0.0, True, 10.0).eval()
+    ref.self_attn_gaus_bias.dropout.p = 0.0
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    rng = np.random.default_rng(6)
+    b, t = 2, 12
+    x = rng.normal(size=(b, t, c)).astype(np.float32)
+    lengths = [12, 8]
+    keep = make_mask(lengths, t)
+
+    x_tbc = torch.tensor(x).transpose(0, 1)
+    pad_mask = torch.tensor(~(keep[..., 0].astype(bool)))
+    with torch.no_grad():
+        out_ref = ref(x_tbc.clone(), encoder_padding_mask=pad_mask)
+    out_ref = out_ref.transpose(0, 1).numpy()
+
+    model = fs.EncGausSALayer(num_heads=1, dropout=0.0,
+                              attention_dropout=0.0, relu_dropout=0.0,
+                              gaus_bias=True, gaus_tao=10.0)
+    pfx = "self_attn_gaus_bias"
+    params = {
+        "layer_norm1": tp.layernorm(state, "layer_norm1"),
+        "layer_norm2": tp.layernorm(state, "layer_norm2"),
+        "w_q": tp.dense_from_linear(state, f"{pfx}.w_q"),
+        "w_k": tp.dense_from_linear(state, f"{pfx}.w_k"),
+        "w_v": tp.dense_from_linear(state, f"{pfx}.w_v"),
+        "fc": tp.dense_from_linear(state, f"{pfx}.fc"),
+        "tao": state[f"{pfx}.tao"],
+        "ffn": {
+            "ffn_1": tp.ffn1_conv_params(state, "ffn", 9),
+            "ffn_2": tp.dense_from_linear(state, "ffn.ffn_2"),
+        },
+    }
+    out = model.apply({"params": params}, jnp.asarray(x), jnp.asarray(keep))
+    # the reference does not re-mask its residual stream; compare valid rows
+    for i, l in enumerate(lengths):
+        np.testing.assert_allclose(np.asarray(out)[i, :l], out_ref[i, :l],
+                                   atol=2e-4)

@@ -12,6 +12,7 @@ def main():
     parser.add_argument("-c", "--config", type=str, default="config.json")
     parser.add_argument("--resume", type=str, default=None)
     parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--log_every", type=int, default=100)
     args = parser.parse_args()
 
     import os
@@ -19,7 +20,7 @@ def main():
     trainer = Trainer(cfg)
     if args.resume:
         trainer.load(args.resume)
-    trainer.train(num_steps=args.steps)
+    trainer.train(num_steps=args.steps, log_every=args.log_every)
 
 
 if __name__ == "__main__":
