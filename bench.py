@@ -30,7 +30,7 @@ def main():
     cfg = Config()  # reference production config values
     model = DiffVits(cfg, n_vocab=len(symbols), dtype=jnp.bfloat16)
 
-    b = 1
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     t_x = 128          # ~ a sentence of phonemes (with blanks)
     t_y = 400          # generated mel frames cap (~4.27 s of audio)
     s = 240            # prompt frames (~2.6 s)
@@ -73,7 +73,7 @@ def main():
         jax.block_until_ready(mel)
     dt = (time.perf_counter() - t0) / n_iters
 
-    audio_secs = t_y * cfg.data.hop_length / cfg.data.sampling_rate
+    audio_secs = b * t_y * cfg.data.hop_length / cfg.data.sampling_rate
     rtf = audio_secs / dt
     print(json.dumps({
         "metric": "inference_rtf_unipc30",
@@ -81,8 +81,9 @@ def main():
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 5.0, 3),
         "detail": {
+            "batch": b,
             "sample_time_s": round(dt, 4),
-            "mel_frames_per_s": round(t_y / dt, 1),
+            "mel_frames_per_s": round(b * t_y / dt, 1),
             "denoise_steps_per_s": round(steps / dt, 2),
             "audio_secs": audio_secs,
         },

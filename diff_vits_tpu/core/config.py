@@ -38,6 +38,8 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)
+    # native C++/OpenMP batch loader (csrc/loader.cc) when buildable
+    use_native_loader: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -47,6 +47,16 @@ class DiffVits(nn.Module):
         return self.diff_model(x, t, cond, refer, lengths, refer_lengths,
                                deterministic=deterministic)
 
+    def encode_prompt(self, refer, refer_lengths, *,
+                      deterministic: bool = True):
+        return self.diff_model.encode_prompt(refer, refer_lengths,
+                                             deterministic=deterministic)
+
+    def denoise_cached(self, x, t, cond, prompt_h, prompt_keep, *,
+                       deterministic: bool = True):
+        return self.diff_model.denoise(x, t, cond, prompt_h, prompt_keep,
+                                       deterministic=deterministic)
+
     def vits_infer(self, text, text_lengths, refer, refer_lengths, tone,
                    language, *, noise_key, noise_scale=0.667,
                    length_scale=1.0, max_len=None,
@@ -155,10 +165,14 @@ def synthesize(
     else:
         x = jax.random.normal(k_init, (b, t_y, c_mel), jnp.float32)
 
+    # encode the prompt once; the solver loop reuses the cross-attn keys
+    # (the reference re-runs the prompt encoder in all ~31 calls)
+    prompt_h, prompt_keep = model.apply(
+        params, refer, refer_lengths, method=DiffVits.encode_prompt)
+
     def x0_fn(x, t_discrete):
-        return model.apply(params, x, t_discrete, content, refer,
-                           out_lengths, refer_lengths,
-                           method=DiffVits.denoise)
+        return model.apply(params, x, t_discrete, content, prompt_h,
+                           prompt_keep, method=DiffVits.denoise_cached)
 
     if sample_method == "unipc":
         mel = sample_unipc(x0_fn, ns, x, steps=sampling_steps, order=2)
@@ -166,18 +180,10 @@ def synthesize(
         mel = sample_dpmpp(x0_fn, ns, x, steps=sampling_steps, order=2)
     elif sample_method == "ddim":
         gd = GaussianDiffusion.create(model.cfg.train.timesteps)
-        mel = gd.ddim_sample(
-            lambda xx, tt: model.apply(params, xx, tt, content, refer,
-                                       out_lengths, refer_lengths,
-                                       method=DiffVits.denoise),
-            x.shape, k_init, steps=sampling_steps)
+        mel = gd.ddim_sample(x0_fn, x.shape, k_init, steps=sampling_steps)
     elif sample_method == "ddpm":
         gd = GaussianDiffusion.create(model.cfg.train.timesteps)
-        mel = gd.p_sample_loop(
-            lambda xx, tt: model.apply(params, xx, tt, content, refer,
-                                       out_lengths, refer_lengths,
-                                       method=DiffVits.denoise),
-            x.shape, k_init)
+        mel = gd.p_sample_loop(x0_fn, x.shape, k_init)
     else:
         raise ValueError(f"unknown sample_method {sample_method}")
     return mel, out_lengths

@@ -20,7 +20,42 @@ class DiffusionEncoder(nn.Module):
     cfg: DiffusionEncoderConfig
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        c = self.cfg
+        self.prompt_encoder = PromptEncoder(
+            c.in_channels, c.hidden_channels, c.hidden_channels,
+            c.n_prompt_layers, 0.2, dtype=self.dtype)
+        self.unet = UNet1DConditionModel(
+            in_channels=c.in_channels + c.hidden_channels,
+            out_channels=c.out_channels,
+            block_out_channels=c.block_out_channels,
+            norm_num_groups=8,
+            cross_attention_dim=c.hidden_channels,
+            attention_head_dim=c.n_heads,
+            addition_embed_type="text",
+            resnet_time_scale_shift="scale_shift",
+            dtype=self.dtype)
+
+    def encode_prompt(self, prompt, prompt_lengths, *,
+                      deterministic: bool = True):
+        """Prompt mel -> cross-attention keys [B, S, C_hidden] + keep mask.
+
+        Computed once per utterance at inference — the reference re-encodes
+        the prompt inside every one of the ~31 solver calls
+        (model3.py:902-914)."""
+        prompt_keep = masking.sequence_mask(prompt_lengths, prompt.shape[1])
+        prompt_h = self.prompt_encoder(prompt, prompt_lengths,
+                                       deterministic=deterministic)
+        prompt_h = prompt_h * prompt_keep.astype(prompt_h.dtype)[..., None]
+        return prompt_h, prompt_keep
+
+    def denoise(self, x, t, cond, prompt_h, prompt_keep, *,
+                deterministic: bool = True):
+        """One UNet x0-prediction call given pre-encoded prompt keys."""
+        h = jnp.concatenate([x, cond], axis=-1)
+        return self.unet(h, t, prompt_h, encoder_attention_mask=prompt_keep,
+                         deterministic=deterministic)
+
     def __call__(self, x, t, cond, prompt, cond_lengths, prompt_lengths, *,
                  deterministic: bool = True):
         """
@@ -32,26 +67,7 @@ class DiffusionEncoder(nn.Module):
         Returns:
           [B, T, C_mel] x0 prediction.
         """
-        c = self.cfg
-        prompt_keep = masking.sequence_mask(prompt_lengths, prompt.shape[1])
-        prompt_h = PromptEncoder(
-            c.in_channels, c.hidden_channels, c.hidden_channels,
-            c.n_prompt_layers, 0.2, dtype=self.dtype,
-            name="prompt_encoder")(prompt, prompt_lengths,
-                                   deterministic=deterministic)
-        prompt_h = prompt_h * prompt_keep.astype(prompt_h.dtype)[..., None]
-
-        h = jnp.concatenate([x, cond], axis=-1)
-        out = UNet1DConditionModel(
-            in_channels=c.in_channels + c.hidden_channels,
-            out_channels=c.out_channels,
-            block_out_channels=c.block_out_channels,
-            norm_num_groups=8,
-            cross_attention_dim=c.hidden_channels,
-            attention_head_dim=c.n_heads,
-            addition_embed_type="text",
-            resnet_time_scale_shift="scale_shift",
-            dtype=self.dtype,
-            name="unet")(h, t, prompt_h, encoder_attention_mask=prompt_keep,
-                         deterministic=deterministic)
-        return out
+        prompt_h, prompt_keep = self.encode_prompt(
+            prompt, prompt_lengths, deterministic=deterministic)
+        return self.denoise(x, t, cond, prompt_h, prompt_keep,
+                            deterministic=deterministic)

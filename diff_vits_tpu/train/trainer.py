@@ -129,9 +129,7 @@ class Trainer:
             os.makedirs(self.logs_folder, exist_ok=True)
 
         self.ds = dataset or TextMelDataset(cfg)
-        self.loader = TrainLoader(self.ds, cfg, seed=cfg.train.seed,
-                                  host_id=jax.process_index(),
-                                  num_hosts=jax.process_count())
+        self.loader = self._make_loader()
         self._py_rng = random.Random(cfg.train.seed + 17)
 
         # init state (jitted: eager init would execute op-by-op, which is
@@ -173,6 +171,23 @@ class Trainer:
             out_shardings=(state_sh, repl),
             donate_argnums=(0,))
         self.state = jax.device_put(self.state, state_sh)
+
+    def _make_loader(self, batch_size=None, seed=None):
+        """Native C++/OpenMP loader when buildable and the dataset has .npy
+        mel sidecars; pure-Python TrainLoader otherwise."""
+        kw = dict(batch_size=batch_size,
+                  seed=self.cfg.train.seed if seed is None else seed,
+                  host_id=jax.process_index(),
+                  num_hosts=jax.process_count())
+        if self.cfg.train.use_native_loader:
+            try:
+                from diff_vits_tpu.data.native_loader import NativeTrainLoader
+                loader = NativeTrainLoader(self.ds, self.cfg, **kw)
+                if len(loader) > 0:
+                    return loader
+            except Exception:  # noqa: BLE001 — toolchain missing: fall back
+                pass
+        return TrainLoader(self.ds, self.cfg, **kw)
 
     def _dummy_batch(self, b: int = 2):
         c = self.cfg.data.n_mel_channels
@@ -347,8 +362,8 @@ class Trainer:
         utterance with the training prompt and log mel image + artifact."""
         from diff_vits_tpu.models.diff_vits import synthesize
 
-        it = iter(TrainLoader(self.ds, self.cfg, batch_size=1,
-                              seed=self.cfg.train.seed + 1))
+        it = iter(self._make_loader(batch_size=1,
+                                    seed=self.cfg.train.seed + 1))
         batch = self._host_batch(next(it))
         if not hasattr(self, "_eval_fn"):
             # jitted (and cached): eager synthesis would dispatch op-by-op
