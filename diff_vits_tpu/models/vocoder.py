@@ -48,14 +48,33 @@ class ConvNeXtBlock(nn.Module):
         return residual + gamma * h
 
 
-def istft(spec: jax.Array, n_fft: int = 1024, hop_length: int = 256,
+def _irfft_real(real: jax.Array, imag: jax.Array, n_fft: int) -> jax.Array:
+    """IRFFT via real matmuls (cos/sin synthesis bases).
+
+    The TPU backend here lacks complex arithmetic; the inverse DFT of a
+    hermitian half-spectrum is two [F, K+1] @ [K+1, n_fft] matmuls — which
+    the MXU prefers over an FFT butterfly at these sizes anyway.
+    """
+    k = jnp.arange(n_fft // 2 + 1, dtype=jnp.float32)
+    n = jnp.arange(n_fft, dtype=jnp.float32)
+    ang = 2.0 * jnp.pi * k[:, None] * n[None, :] / n_fft  # [K+1, N]
+    # hermitian weights: DC and nyquist count once, the rest twice
+    w = jnp.full((n_fft // 2 + 1, 1), 2.0, jnp.float32)
+    w = w.at[0].set(1.0).at[-1].set(1.0)
+    cos_b = jnp.cos(ang) * w / n_fft
+    sin_b = jnp.sin(ang) * w / n_fft
+    return real @ cos_b - imag @ sin_b
+
+
+def istft(real: jax.Array, imag: jax.Array, n_fft: int = 1024,
+          hop_length: int = 256,
           length: Optional[int] = None) -> jax.Array:
     """Inverse STFT with hann window and window-envelope normalization.
 
-    spec: [B, frames, n_fft//2+1] complex. Matches torch.istft(center=True).
+    real/imag: [B, frames, n_fft//2+1]. Matches torch.istft(center=True).
     """
     window = jnp.asarray(hann_window(n_fft))
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [B, F, n_fft]
+    frames = _irfft_real(real, imag, n_fft)  # [B, F, n_fft]
     frames = frames * window
     b, n_frames, _ = frames.shape
     out_len = n_fft + hop_length * (n_frames - 1)
@@ -98,10 +117,11 @@ class Vocos(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="final_norm")(h)
         h = nn.Dense(self.n_fft + 2, dtype=self.dtype, name="out")(h)
         mag, phase = jnp.split(h, 2, axis=-1)
-        mag = jnp.exp(jnp.clip(mag, max=1e2))
-        spec = mag * (jnp.cos(phase) + 1j * jnp.sin(phase))
+        mag = jnp.exp(jnp.clip(mag.astype(jnp.float32), max=1e2))
+        phase = phase.astype(jnp.float32)
         # center ISTFT of T frames yields (T-1)*hop samples
-        return istft(spec.astype(jnp.complex64), self.n_fft, self.hop_length)
+        return istft(mag * jnp.cos(phase), mag * jnp.sin(phase),
+                     self.n_fft, self.hop_length)
 
 
 def convert_torch_vocos(state_dict) -> dict:

@@ -8,6 +8,14 @@ amortized away and the B batch elements run in parallel across the grid.
 
 Semantics identical to ops/mas.py (and the reference numba kernel,
 monotonic_align/core.py:4-35).
+
+Measured on TPU v5e (B=8, Ty=400, Tx=601): this kernel 0.12 ms vs 0.03 ms
+for the fused ``lax.scan`` of ops/mas.py — XLA's scan wins at production
+sizes (the whole DP is bandwidth-trivial), so ops/mas.py stays the default
+and this kernel is the validated Pallas alternative for very long
+sequences (one grid program per batch element, zero per-row dispatch).
+Note for this backend: vector->scalar reductions in a loop carry fail to
+lower; the backtrack carries the argmax position as a one-hot row instead.
 """
 from __future__ import annotations
 
@@ -52,20 +60,29 @@ def _mas_kernel(t_ys_ref, t_xs_ref, neg_cent_ref, path_ref, value_ref):
 
     jax.lax.fori_loop(0, t_y_max, fwd, 0)
 
-    # backtrack
-    def bwd(i, index):
+    # backtrack — the position is carried as a one-hot ROW, not a scalar:
+    # vector->scalar reductions inside the loop carry don't lower on this
+    # Mosaic path, and the one-hot form keeps every op on the VPU anyway.
+    def bwd(i, onehot):
         y = t_y_max - 1 - i
         active = y < t_y
-        onehot = jnp.where(active & (col == index), 1.0, 0.0)
-        path_ref[pl.ds(y, 1), :] = onehot
+        oh_act = jnp.where(active, onehot, 0.0)
+        path_ref[pl.ds(y, 1), :] = oh_act
         prev = value_ref[pl.ds(jnp.maximum(y - 1, 0), 1), :]
         lt = prev < (pltpu.roll(prev, 1, 1) if _HAS_PLTPU
                      else jnp.roll(prev, 1, 1))
-        lt_at = jnp.sum(jnp.where(col == index, lt, False).astype(jnp.int32)) > 0
-        move = (index != 0) & ((index == y) | lt_at)
-        return jnp.where(active & move, index - 1, index)
+        # per-position move rule (core.py:27-30): j != 0 and
+        # (j == y or value[y-1, j] < value[y-1, j-1])
+        move = (col != 0) & ((col == y) | lt)
+        moved = onehot * move.astype(jnp.float32)
+        # left-shift by 1 == roll by t_x_max - 1 (pltpu.roll wants shift >= 0)
+        shifted = (pltpu.roll(moved, t_x_max - 1, 1) if _HAS_PLTPU
+                   else jnp.roll(moved, -1, 1))
+        new = onehot - moved + shifted
+        return jnp.where(active, new, onehot)
 
-    jax.lax.fori_loop(0, t_y_max, bwd, t_x - 1)
+    init = jnp.where(col == t_x - 1, 1.0, 0.0)
+    jax.lax.fori_loop(0, t_y_max, bwd, init)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

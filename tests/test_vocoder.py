@@ -18,8 +18,10 @@ def test_istft_matches_torch():
                         window=torch.hann_window(1024), center=True,
                         length=audio.shape[-1]).numpy()
 
-    spec_j = jnp.asarray(spec_t.numpy().transpose(0, 2, 1))  # [B, F, freq]
-    rec_j = np.asarray(istft(spec_j, 1024, 256, length=audio.shape[-1]))
+    spec_np = spec_t.numpy().transpose(0, 2, 1)  # [B, F, freq]
+    rec_j = np.asarray(istft(jnp.asarray(spec_np.real),
+                             jnp.asarray(spec_np.imag), 1024, 256,
+                             length=audio.shape[-1]))
     np.testing.assert_allclose(rec_j, rec_t, atol=1e-4)
     np.testing.assert_allclose(rec_t, audio, atol=1e-4)  # sanity round-trip
 
