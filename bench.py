@@ -155,8 +155,95 @@ def main_train(batch_size: int = 8):
     }))
 
 
+def main_scaling(per_chip_batch: int = 8):
+    """Data-parallel scaling efficiency: per-chip train throughput on a
+    mesh over every available device vs the single-device rate.
+
+    On a multi-chip pod this measures real ICI scaling (BASELINE target:
+    >=85% at 2 hosts); on one chip it degenerates to the train bench.
+    Run under a virtual mesh (JAX_PLATFORMS=cpu +
+    --xla_force_host_platform_device_count=N) to exercise the mechanics.
+    """
+    from diff_vits_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from diff_vits_tpu.core.config import Config
+    from diff_vits_tpu.models.diff_vits import DiffVits
+    from diff_vits_tpu.parallel import mesh as mesh_lib
+    from diff_vits_tpu.text.symbols import symbols
+    from diff_vits_tpu.train.trainer import make_optimizer, make_train_step
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = Config()
+    model = DiffVits(cfg, n_vocab=len(symbols), dtype=jnp.bfloat16)
+    tx = make_optimizer(cfg)
+
+    def measure(n_dev):
+        mesh = mesh_lib.make_mesh((n_dev,))
+        b = per_chip_batch * n_dev
+        t_x = cfg.data.max_text_len * 2 + 1
+        t_y = cfg.data.max_mel_len
+        s = t_y * 2 // 3 + 1
+        c = cfg.data.n_mel_channels
+        rng = np.random.default_rng(0)
+        batch = {
+            "text": jnp.asarray(rng.integers(1, 100, (b, t_x)), jnp.int32),
+            "tone": jnp.zeros((b, t_x), jnp.int32),
+            "language": jnp.zeros((b, t_x), jnp.int32),
+            "spec": jnp.asarray(rng.normal(size=(b, t_y, c)), jnp.float32),
+            "refer": jnp.asarray(rng.normal(size=(b, s, c)), jnp.float32),
+            "text_lengths": jnp.full(b, t_x, jnp.int32),
+            "spec_lengths": jnp.full(b, t_y, jnp.int32),
+            "refer_lengths": jnp.full(b, s, jnp.int32),
+        }
+        key = jax.random.PRNGKey(0)
+        init = jax.jit(lambda k: model.init(
+            {"params": k, "dropout": k}, batch["text"],
+            batch["text_lengths"], batch["spec"], batch["spec_lengths"],
+            batch["refer"], batch["refer_lengths"], batch["tone"],
+            batch["language"], rng=k)["params"])
+        params = init(key)
+        state = {"params": params, "opt_state": tx.init(params),
+                 "step": jnp.asarray(0, jnp.int32), "rng": key}
+        state_sh = mesh_lib.state_sharding_rules(mesh, state)
+        data_sh = NamedSharding(mesh, P("data"))
+        step_fn = jax.jit(make_train_step(model, tx, cfg),
+                          in_shardings=(state_sh,
+                                        {k: data_sh for k in batch}),
+                          out_shardings=(state_sh,
+                                         NamedSharding(mesh, P())),
+                          donate_argnums=(0,))
+        state = jax.device_put(state, state_sh)
+        batch = {k: jax.device_put(v, data_sh) for k, v in batch.items()}
+        state, metrics = step_fn(state, batch)
+        jax.block_until_ready(metrics["loss/all"])
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step_fn(state, batch)
+        jax.block_until_ready(metrics["loss/all"])
+        dt = (time.perf_counter() - t0) / iters
+        return b * t_y / dt / n_dev  # frames/s/chip
+
+    n = jax.device_count()
+    one = measure(1)
+    full = measure(n) if n > 1 else one
+    eff = full / one
+    print(json.dumps({
+        "metric": "dp_scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": f"per_chip_ratio_at_{n}_devices",
+        "vs_baseline": round(eff / 0.85, 3),
+        "detail": {"devices": n,
+                   "frames_per_s_per_chip_1": round(one, 1),
+                   "frames_per_s_per_chip_n": round(full, 1),
+                   "per_chip_batch": per_chip_batch},
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "train":
         main_train(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+    elif len(sys.argv) > 1 and sys.argv[1] == "scaling":
+        main_scaling(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
     else:
         main()

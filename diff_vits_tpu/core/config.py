@@ -40,6 +40,10 @@ class TrainConfig:
     mesh_axes: Tuple[str, ...] = ("data",)
     # native C++/OpenMP batch loader (csrc/loader.cc) when buildable
     use_native_loader: bool = True
+    # EMA of params for eval/sampling (the reference imports ema_pytorch in
+    # model.py:24 but never wires it; standard for diffusion quality)
+    use_ema: bool = False
+    ema_decay: float = 0.9999
 
 
 @dataclasses.dataclass(frozen=True)

@@ -104,6 +104,11 @@ def make_train_step(model: DiffVits, tx: optax.GradientTransformation,
         metrics["loss/grad"] = g_norm
         new_state = {"params": params, "opt_state": opt_state,
                      "step": step + 1, "rng": state["rng"]}
+        if "ema_params" in state:
+            d = cfg.train.ema_decay
+            new_state["ema_params"] = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                state["ema_params"], params)
         return new_state, metrics
 
     return train_step
@@ -149,6 +154,9 @@ class Trainer:
         opt_state = self.tx.init(params)
         self.state = {"params": params, "opt_state": opt_state,
                       "step": jnp.asarray(0, jnp.int32), "rng": key}
+        if cfg.train.use_ema:
+            self.state["ema_params"] = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.float32), params)
 
         train_step = make_train_step(self.model, self.tx, cfg)
         repl = mesh_lib.replicated_sharding(self.mesh)
@@ -211,11 +219,12 @@ class Trainer:
     def save(self, step: int):
         if jax.process_index() != 0:
             return
-        ckpt_lib.save_checkpoint(
-            self.logs_folder, step,
-            {"params": jax.device_get(self.state["params"]),
-             "opt_state": jax.device_get(self.state["opt_state"])},
-            keep=self.cfg.train.keep_ckpts)
+        payload = {"params": jax.device_get(self.state["params"]),
+                   "opt_state": jax.device_get(self.state["opt_state"])}
+        if "ema_params" in self.state:
+            payload["ema_params"] = jax.device_get(self.state["ema_params"])
+        ckpt_lib.save_checkpoint(self.logs_folder, step, payload,
+                                 keep=self.cfg.train.keep_ckpts)
 
     def load(self, path: str):
         step, saved = ckpt_lib.load_checkpoint(path)
@@ -232,6 +241,14 @@ class Trainer:
         new_state = {"params": params, "opt_state": opt_state,
                      "step": jnp.asarray(step, jnp.int32),
                      "rng": self.state["rng"]}
+        if self.cfg.train.use_ema:
+            if "ema_params" in saved:
+                new_state["ema_params"] = serialization.from_state_dict(
+                    jax.device_get(self.state["params"]),
+                    saved["ema_params"])
+            else:
+                new_state["ema_params"] = jax.tree_util.tree_map(
+                    lambda p: p.astype(jnp.float32), params)
         self.state = jax.device_put(
             new_state, mesh_lib.state_sharding_rules(self.mesh, new_state))
 
@@ -371,7 +388,7 @@ class Trainer:
                 synthesize, self.model, sampling_steps=sampling_steps,
                 max_len=self.cfg.data.max_mel_len))
         mel, lengths = self._eval_fn(
-            {"params": self.state["params"]},
+            {"params": self.state.get("ema_params", self.state["params"])},
             jnp.asarray(batch["text"]), jnp.asarray(batch["text_lengths"]),
             jnp.asarray(batch["refer"]), jnp.asarray(batch["refer_lengths"]),
             jnp.asarray(batch["tone"]), jnp.asarray(batch["language"]),
