@@ -1,27 +1,5 @@
 """Training entry point. Parity: train.py:1-5 of the reference."""
-import argparse
-
-from diff_vits_tpu.core.cache import enable_compilation_cache
-from diff_vits_tpu.core.config import Config, load_config
-from diff_vits_tpu.train.trainer import Trainer
-
-
-def main():
-    enable_compilation_cache()
-    parser = argparse.ArgumentParser()
-    parser.add_argument("-c", "--config", type=str, default="config.json")
-    parser.add_argument("--resume", type=str, default=None)
-    parser.add_argument("--steps", type=int, default=None)
-    parser.add_argument("--log_every", type=int, default=100)
-    args = parser.parse_args()
-
-    import os
-    cfg = load_config(args.config) if os.path.exists(args.config) else Config()
-    trainer = Trainer(cfg)
-    if args.resume:
-        trainer.load(args.resume)
-    trainer.train(num_steps=args.steps, log_every=args.log_every)
-
+from diff_vits_tpu.train.cli import main
 
 if __name__ == "__main__":
     main()
