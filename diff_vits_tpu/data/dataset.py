@@ -87,8 +87,13 @@ class TextMelDataset:
                                         n_mels=self.cfg.data.n_mel_channels)
         except (OSError, ValueError):
             return None
-        if len(phones) < self.cfg.data.min_text_len or \
-           len(phones) > self.cfg.data.max_text_len:
+        # `phones` is already blank-interspersed (length 2n+1); compare
+        # against the interspersed cap so the filter matches the collate
+        # buffer and the native loader (dataset.py:56 of the reference
+        # filters raw text before interspersing)
+        max_len = self.cfg.data.max_text_len * 2 + 1 if self.add_blank \
+            else self.cfg.data.max_text_len
+        if not (self.cfg.data.min_text_len <= len(phones) <= max_len):
             return None
         return Example(phones, tones, langs, mel.astype(np.float32))
 

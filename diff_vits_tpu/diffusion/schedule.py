@@ -103,13 +103,14 @@ class GaussianDiffusion:
     # -- samplers -----------------------------------------------------------
 
     def p_sample_loop(self, model_fn: Callable, shape, key,
-                      dtype=jnp.float32):
+                      dtype=jnp.float32, init_noise=None):
         """Ancestral DDPM sampling (model3.py:1049-1075), one fori_loop.
 
-        ``model_fn(x, t[B]) -> x0`` prediction.
+        ``model_fn(x, t[B]) -> x0`` prediction. ``init_noise`` injects x_T.
         """
         key, sub = jax.random.split(key)
-        img = jax.random.normal(sub, shape, dtype)
+        img = (init_noise.astype(dtype) if init_noise is not None
+               else jax.random.normal(sub, shape, dtype))
 
         def body(i, carry):
             img, key = carry
@@ -128,14 +129,17 @@ class GaussianDiffusion:
         return img
 
     def ddim_sample(self, model_fn: Callable, shape, key, steps: int,
-                    eta: float = 0.0, dtype=jnp.float32):
-        """DDIM sampling (model3.py:1077-1112) as a scan over time pairs."""
+                    eta: float = 0.0, dtype=jnp.float32, init_noise=None):
+        """DDIM sampling (model3.py:1077-1112) as a scan over time pairs.
+
+        ``init_noise`` injects x_T."""
         times = np.linspace(-1, self.num_timesteps - 1, steps + 1).astype(int)
         times = list(reversed(times.tolist()))
         pairs = np.array(list(zip(times[:-1], times[1:])), np.int32)
 
         key, sub = jax.random.split(key)
-        img = jax.random.normal(sub, shape, dtype)
+        img = (init_noise.astype(dtype) if init_noise is not None
+               else jax.random.normal(sub, shape, dtype))
 
         def step(carry, pair):
             img, key = carry

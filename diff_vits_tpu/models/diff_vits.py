@@ -180,10 +180,11 @@ def synthesize(
         mel = sample_dpmpp(x0_fn, ns, x, steps=sampling_steps, order=2)
     elif sample_method == "ddim":
         gd = GaussianDiffusion.create(model.cfg.train.timesteps)
-        mel = gd.ddim_sample(x0_fn, x.shape, k_init, steps=sampling_steps)
+        mel = gd.ddim_sample(x0_fn, x.shape, k_init, steps=sampling_steps,
+                             init_noise=x)
     elif sample_method == "ddpm":
         gd = GaussianDiffusion.create(model.cfg.train.timesteps)
-        mel = gd.p_sample_loop(x0_fn, x.shape, k_init)
+        mel = gd.p_sample_loop(x0_fn, x.shape, k_init, init_noise=x)
     else:
         raise ValueError(f"unknown sample_method {sample_method}")
     return mel, out_lengths

@@ -124,11 +124,26 @@ class VITS(nn.Module):
         attn = jax.lax.stop_gradient(maximum_path(neg_cent, attn_mask))
 
         w = attn.sum(axis=1)  # [B, Tx] durations
-        logw_ = jnp.log(w + 1e-6)[..., None] * x_mask
-        logw = self.dp(x_h, x_lengths, y, y_lengths,
-                       deterministic=deterministic)
-        l_length = jnp.sum((logw - logw_) ** 2, axis=(1, 2)) / jnp.sum(x_mask)
-        l_length = jnp.sum(l_length.astype(jnp.float32))
+        if c.duration_predictor == "sdp":
+            # flow NLL objective (model3.py:122-230 / model2.py:825)
+            key_dur = (jax.random.fold_in(rngs_noise_key, 3)
+                       if rngs_noise_key is not None
+                       else jax.random.PRNGKey(0))
+            nll = self.dp(x_h, x_mask, w=w[..., None], g=g, reverse=False,
+                          rng_key=key_dur, deterministic=deterministic)
+            l_length = (jnp.sum(nll.astype(jnp.float32))
+                        / jnp.sum(x_mask.astype(jnp.float32)))
+        else:
+            logw_ = jnp.log(w + 1e-6)[..., None] * x_mask
+            if c.duration_predictor == "conv":
+                logw = self.dp(x_h, x_mask, g=g,
+                               deterministic=deterministic)
+            else:
+                logw = self.dp(x_h, x_lengths, y, y_lengths,
+                               deterministic=deterministic)
+            l_length = jnp.sum((logw - logw_) ** 2,
+                               axis=(1, 2)) / jnp.sum(x_mask)
+            l_length = jnp.sum(l_length.astype(jnp.float32))
 
         # expand prior over the alignment (model3.py:807-808)
         m_p_e = jnp.einsum("byx,bxd->byd", attn, m_p)
@@ -162,8 +177,16 @@ class VITS(nn.Module):
         g = self.ref_enc(y)[:, None, :]
         x_h, m_p, logs_p, x_mask = self.enc_p(
             x, x_lengths, tone, language, g=g, deterministic=deterministic)
-        logw = self.dp(x_h, x_lengths, y, y_lengths,
-                       deterministic=deterministic)
+        if c.duration_predictor == "sdp":
+            logw = self.dp(x_h, x_mask, g=g, reverse=True,
+                           noise_scale=0.8,
+                           rng_key=jax.random.fold_in(noise_key, 3),
+                           deterministic=deterministic)
+        elif c.duration_predictor == "conv":
+            logw = self.dp(x_h, x_mask, g=g, deterministic=deterministic)
+        else:
+            logw = self.dp(x_h, x_lengths, y, y_lengths,
+                           deterministic=deterministic)
         w = jnp.exp(logw) * x_mask * length_scale
         w_ceil = jnp.ceil(w)[..., 0]  # [B, Tx]
         out_lengths = jnp.maximum(

@@ -117,7 +117,9 @@ class Vocos(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="final_norm")(h)
         h = nn.Dense(self.n_fft + 2, dtype=self.dtype, name="out")(h)
         mag, phase = jnp.split(h, 2, axis=-1)
-        mag = jnp.exp(jnp.clip(mag.astype(jnp.float32), max=1e2))
+        # clip AFTER exp (torch Vocos: clip(exp(x), max=1e2)) — clipping the
+        # log-magnitude would cap at e^100 and blow up on out-of-dist frames
+        mag = jnp.clip(jnp.exp(mag.astype(jnp.float32)), max=1e2)
         phase = phase.astype(jnp.float32)
         # center ISTFT of T frames yields (T-1)*hop samples
         return istft(mag * jnp.cos(phase), mag * jnp.sin(phase),

@@ -221,8 +221,12 @@ class MultiHeadAttention(nn.Module):
                 nn.initializers.normal(rel_stddev),
                 (n_heads_rel, self.window_size * 2 + 1, k_channels))
             key_rel = _get_relative_embeddings(emb_rel_k, t_s, self.window_size)
-            rel_logits = jnp.einsum("bhtd,gmd->bhtm",
-                                    qh / math.sqrt(k_channels),
+            # shared heads: one table broadcast over h; per-head tables
+            # (heads_share=False) must match head h to table h — summing
+            # over a general 'g' axis would mix all heads' embeddings
+            rel_eq = ("bhtd,gmd->bhtm" if self.heads_share
+                      else "bhtd,hmd->bhtm")
+            rel_logits = jnp.einsum(rel_eq, qh / math.sqrt(k_channels),
                                     key_rel.astype(self.dtype))
             scores = scores + _rel_to_abs(rel_logits)
 
@@ -247,8 +251,9 @@ class MultiHeadAttention(nn.Module):
         if self.window_size is not None:
             rel_weights = _abs_to_rel(p_attn)
             value_rel = _get_relative_embeddings(emb_rel_v, t_s, self.window_size)
-            out = out + jnp.einsum("bhtm,gmd->bhtd", rel_weights,
-                                   value_rel.astype(self.dtype))
+            out = out + jnp.einsum(
+                "bhtm,gmd->bhtd" if self.heads_share else "bhtm,hmd->bhtd",
+                rel_weights, value_rel.astype(self.dtype))
 
         out = out.transpose(0, 2, 1, 3).reshape(b, t_t, self.channels)
         return nn.Dense(self.out_channels, dtype=self.dtype, name="conv_o")(out)

@@ -68,37 +68,42 @@ def _num_to_hanzi(num: str) -> str:
     """Minimal integer/decimal -> hanzi conversion (cn2an fallback)."""
     digits = '零一二三四五六七八九'
     units = ['', '十', '百', '千']
-    big_units = ['', '万', '亿']
+    big_units = ['', '万', '亿', '万亿', '亿亿']
 
     def int_to_hanzi(n: int) -> str:
         if n == 0:
             return '零'
-        parts = []
-        group_idx = 0
+        groups = []  # low to high, 4 digits each
         while n > 0:
-            group = n % 10000
+            groups.append(n % 10000)
             n //= 10000
-            if group:
-                s = ''
-                zero_pending = False
-                for pos in range(3, -1, -1):
-                    d = (group // (10 ** pos)) % 10
-                    if d == 0:
-                        if s:
-                            zero_pending = True
-                        continue
-                    if zero_pending:
-                        s += '零'
-                        zero_pending = False
-                    if not (pos == 1 and d == 1 and group < 100):
-                        s += digits[d]
-                    s += units[pos]
-                parts.append(s + big_units[group_idx])
-            elif parts:
+        top = len(groups) - 1
+        parts = []
+        for gi in range(top, -1, -1):
+            g = groups[gi]
+            if g == 0:
+                continue
+            s = ''
+            zero_pending = False
+            for pos in range(3, -1, -1):
+                d = (g // (10 ** pos)) % 10
+                if d == 0:
+                    if s:
+                        zero_pending = True
+                    continue
+                if zero_pending:
+                    s += '零'
+                    zero_pending = False
+                # 十 not 一十 — only at the head of the whole number
+                if not (pos == 1 and d == 1 and g < 100 and gi == top):
+                    s += digits[d]
+                s += units[pos]
+            # inter-group zero: 10005 -> 一万零五 (a skipped group or
+            # leading zeros in this group need one 零)
+            if parts and g < 1000:
                 parts.append('零')
-            group_idx += 1
-        out = ''.join(reversed(parts))
-        return out.strip('零') or '零'
+            parts.append(s + big_units[gi])
+        return ''.join(parts)
 
     if '.' in num:
         a, b = num.split('.', 1)
@@ -119,23 +124,34 @@ def zh_text_normalize(text: str) -> str:
     return _zh_replace_punctuation(text)
 
 
+_pinyin_lexicon_cache = None
+_sandhi_cache = None
+
+
 def _load_pinyin_lexicon():
-    """pinyin -> phone-list map, opencpop-strict format (tab separated)."""
+    """pinyin -> phone-list map, opencpop-strict format (tab separated).
+
+    Cached at module level; falls back to the generated in-repo table
+    (``pinyin_lexicon.build_lexicon``, golden-matched to all 429 reference
+    entries) when no lexicon file is present."""
+    global _pinyin_lexicon_cache
+    if _pinyin_lexicon_cache is not None:
+        return _pinyin_lexicon_cache
     path = os.environ.get("DIFF_VITS_PINYIN_LEXICON")
     if path is None:
         path = os.path.join(os.path.dirname(__file__), "opencpop-strict.txt")
-    if not os.path.exists(path):
-        raise FileNotFoundError(
-            "Mandarin G2P needs a pinyin->phoneme lexicon (opencpop-strict "
-            "format). Set DIFF_VITS_PINYIN_LEXICON or place "
-            "opencpop-strict.txt next to this module.")
-    out = {}
-    with open(path, encoding="utf-8") as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                k, v = line.split("\t")
-                out[k] = v.split(" ")
+    if os.path.exists(path):
+        out = {}
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    k, v = line.split("\t")
+                    out[k] = v.split(" ")
+    else:
+        from diff_vits_tpu.text.pinyin_lexicon import build_lexicon
+        out = build_lexicon()
+    _pinyin_lexicon_cache = out
     return out
 
 
@@ -156,7 +172,10 @@ def zh_g2p(text: str) -> Tuple[List[str], List[int], List[int]]:
     from diff_vits_tpu.text.tone_sandhi import ToneSandhi
 
     pinyin_to_symbol = _load_pinyin_lexicon()
-    sandhi = ToneSandhi()
+    global _sandhi_cache
+    if _sandhi_cache is None:
+        _sandhi_cache = ToneSandhi()
+    sandhi = _sandhi_cache
 
     pattern = r'(?<=[{0}])\s*'.format(''.join(punctuation))
     sentences = [i for i in re.split(pattern, text) if i.strip() != '']

@@ -337,10 +337,16 @@ class Trainer:
             try:
                 self.state, metrics = self.train_step(self.state, batch)
             except Exception:
-                # failure containment: checkpoint before propagating so a
-                # crash (preemption, OOM) never loses more than the last
-                # interval (SURVEY.md §5.3 — the reference has none)
-                self.save(step)
+                # failure containment (SURVEY.md §5.3 — the reference has
+                # none): best-effort checkpoint. The step's input buffers
+                # are donated, so when the failure happened at execution
+                # time the state may already be gone — never let the save
+                # attempt mask the root cause.
+                try:
+                    self.save(step)
+                except Exception as save_err:
+                    print(f"crash checkpoint failed (state donated to the "
+                          f"failing step): {save_err}", flush=True)
                 raise
             step += 1
             if step % log_every == 0:
@@ -365,11 +371,13 @@ class Trainer:
                         writer.add_scalar("perf/steps_per_sec", sps, step)
             if step % self.cfg.train.save_and_sample_every == 0:
                 self.save(step)
-                if jax.process_index() == 0:
-                    try:
-                        self.eval_sample(step, writer)
-                    except Exception as e:  # never kill training on eval
-                        print(f"eval_sample failed: {e}", flush=True)
+                # SPMD: ALL processes enter the jitted eval computation
+                # (params span the global mesh); only process 0 writes
+                # artifacts (inside eval_sample)
+                try:
+                    self.eval_sample(step, writer)
+                except Exception as e:  # never kill training on eval
+                    print(f"eval_sample failed: {e}", flush=True)
         if step % self.cfg.train.save_and_sample_every != 0:
             self.save(step)  # final checkpoint at loop exit
         print("training complete")
@@ -379,9 +387,18 @@ class Trainer:
         utterance with the training prompt and log mel image + artifact."""
         from diff_vits_tpu.models.diff_vits import synthesize
 
-        it = iter(self._make_loader(batch_size=1,
-                                    seed=self.cfg.train.seed + 1))
-        batch = self._host_batch(next(it))
+        # identical eval batch on every host (no host sharding): in SPMD all
+        # processes run the same computation and process 0 writes artifacts
+        kw = dict(batch_size=1, seed=self.cfg.train.seed + 1)
+        try:
+            from diff_vits_tpu.data.native_loader import NativeTrainLoader
+            loader = (NativeTrainLoader(self.ds, self.cfg, **kw)
+                      if self.cfg.train.use_native_loader else None)
+            if not loader or len(loader) == 0:
+                raise ValueError
+        except Exception:
+            loader = TrainLoader(self.ds, self.cfg, **kw)
+        batch = self._host_batch(next(iter(loader)))
         if not hasattr(self, "_eval_fn"):
             # jitted (and cached): eager synthesis would dispatch op-by-op
             self._eval_fn = jax.jit(functools.partial(
@@ -393,6 +410,9 @@ class Trainer:
             jnp.asarray(batch["refer"]), jnp.asarray(batch["refer_lengths"]),
             jnp.asarray(batch["tone"]), jnp.asarray(batch["language"]),
             key=jax.random.fold_in(self.state["rng"], step))
+        if jax.process_index() != 0:
+            jax.block_until_ready(mel)
+            return
         mel_np = np.asarray(mel[0, :int(lengths[0])], np.float32)
         milestone = step // self.cfg.train.save_and_sample_every
         np.save(os.path.join(self.logs_folder,

@@ -65,3 +65,24 @@ def test_all_lexicon_phones_in_symbol_table():
     for syllable, phones in build_lexicon().items():
         for p in phones:
             assert p in S.symbols, (syllable, p)
+
+
+def test_num_to_hanzi():
+    """Inter-group zeros and 十-head rules (cn2an fallback)."""
+    from diff_vits_tpu.text.frontend import _num_to_hanzi as f
+    cases = {
+        "0": "零", "10": "十", "15": "十五", "105": "一百零五",
+        "10005": "一万零五", "15000": "一万五千",
+        "100000005": "一亿零五", "110000": "十一万",
+        "2110000": "二百一十一万", "3.14": "三点一四",
+    }
+    for k, v in cases.items():
+        assert f(k) == v, (k, f(k), v)
+
+
+def test_pinyin_lexicon_fallback_cached():
+    from diff_vits_tpu.text import frontend as fe
+    a = fe._load_pinyin_lexicon()
+    b = fe._load_pinyin_lexicon()
+    assert a is b  # module-level cache
+    assert a["zhong"] == ["zh", "ong"]
