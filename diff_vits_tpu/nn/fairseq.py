@@ -307,6 +307,42 @@ class EncLSTMLayer(nn.Module):
         return out
 
 
+class ConvAttentionLayer(nn.Module):
+    """Single-head enc-dec dot-product attention with length-aware output
+    scaling. Parity: operations.py:905-951 (fairseq convolutional-seq2seq
+    attention; unused by the active path). Inputs are [B, T, C]
+    (batch-major, vs the reference's T-major)."""
+    hidden_size: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key, value, key_keep_mask=None,
+                 attn_constraint_mask=None, *, deterministic: bool = True):
+        c = x.shape[-1]
+        q = nn.Dense(self.hidden_size, dtype=self.dtype,
+                     name="in_projection")(x)
+        scores = jnp.einsum("btd,bsd->bts", q, key)
+        if key_keep_mask is not None:
+            scores = jnp.where(key_keep_mask[:, None, :], scores, -jnp.inf)
+        if attn_constraint_mask is not None:
+            scores = jnp.where(attn_constraint_mask, -jnp.inf, scores)
+        logits = scores
+        p = jax.nn.softmax(scores, axis=-1)
+        p = jnp.where(jnp.isnan(p), 0.0, p)
+        p = nn.Dropout(self.dropout, deterministic=deterministic)(p)
+        out = jnp.einsum("bts,bsd->btd", p, value)
+        # scale by sqrt(#unmasked source positions) (operations.py:941-946)
+        s = value.shape[1]
+        if key_keep_mask is None:
+            out = out * (s * math.sqrt(1.0 / s))
+        else:
+            n = jnp.sum(key_keep_mask.astype(out.dtype), axis=1)[:, None, None]
+            out = out * jnp.sqrt(jnp.maximum(n, 1.0))
+        out = nn.Dense(c, dtype=self.dtype, name="out_projection")(out)
+        return out, p, logits
+
+
 OPERATIONS_ENCODER = {
     # registry parity: operations.py:953-971 (c = hidden size)
     1: lambda c, dropout, dtype=jnp.float32: EncConvLayer(1, dropout, dtype=dtype),

@@ -86,6 +86,56 @@ class DDSConv(nn.Module):
         return x * x_mask
 
 
+class ResBlock1(nn.Module):
+    """HiFi-GAN residual block, 3 dilated + 3 plain convs.
+
+    Parity: modules.py:221 (unused by the active path — the reference has no
+    GAN decoder — kept for capability parity; LRELU slope 0.1, weight-norm
+    collapsed at transplant time).
+    """
+    channels: int
+    kernel_size: int = 3
+    dilation: tuple = (1, 3, 5)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_mask=None):
+        for i, d in enumerate(self.dilation):
+            xt = nn.leaky_relu(x, 0.1)
+            if x_mask is not None:
+                xt = xt * x_mask
+            xt = nn.Conv(self.channels, (self.kernel_size,),
+                         kernel_dilation=(d,), padding="SAME",
+                         dtype=self.dtype, name=f"conv1_{i}")(xt)
+            xt = nn.leaky_relu(xt, 0.1)
+            if x_mask is not None:
+                xt = xt * x_mask
+            xt = nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
+                         dtype=self.dtype, name=f"conv2_{i}")(xt)
+            x = xt + x
+        return x * x_mask if x_mask is not None else x
+
+
+class ResBlock2(nn.Module):
+    """HiFi-GAN residual block, 2 dilated convs. Parity: modules.py:318."""
+    channels: int
+    kernel_size: int = 3
+    dilation: tuple = (1, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_mask=None):
+        for i, d in enumerate(self.dilation):
+            xt = nn.leaky_relu(x, 0.1)
+            if x_mask is not None:
+                xt = xt * x_mask
+            xt = nn.Conv(self.channels, (self.kernel_size,),
+                         kernel_dilation=(d,), padding="SAME",
+                         dtype=self.dtype, name=f"conv_{i}")(xt)
+            x = xt + x
+        return x * x_mask if x_mask is not None else x
+
+
 class WN(nn.Module):
     """WaveNet core: dilated convs + gated tanh/sigmoid + res/skip.
 

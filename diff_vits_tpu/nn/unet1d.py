@@ -145,6 +145,45 @@ class Transformer1D(nn.Module):
         return h + residual
 
 
+class DualTransformer1D(nn.Module):
+    """Two Transformer1Ds over split conditions, mixed by ``mix_ratio``.
+
+    Capability parity: dual_transformer_1d.py:21 (unused by the active
+    reference path). The context is split at ``condition_lengths`` along the
+    token axis; transformer ``transformer_index_for_condition[i]`` encodes
+    condition i; the residual deltas are blended and re-added.
+    """
+    in_channels: int
+    num_heads: int
+    head_dim: int
+    num_layers: int = 1
+    cross_attention_dim: Optional[int] = None
+    norm_num_groups: int = 32
+    mix_ratio: float = 0.5
+    condition_lengths: Tuple[int, int] = (77, 257)
+    transformer_index_for_condition: Tuple[int, int] = (1, 0)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, *, deterministic: bool = True):
+        transformers = [
+            Transformer1D(self.in_channels, self.num_heads, self.head_dim,
+                          self.num_layers, self.cross_attention_dim,
+                          self.norm_num_groups, dtype=self.dtype,
+                          name=f"transformer_{i}")
+            for i in range(2)]
+        deltas = []
+        start = 0
+        for i in range(2):
+            cond = context[:, start:start + self.condition_lengths[i]]
+            enc = transformers[self.transformer_index_for_condition[i]](
+                x, cond, deterministic=deterministic)
+            deltas.append(enc - x)
+            start += self.condition_lengths[i]
+        return (deltas[0] * self.mix_ratio
+                + deltas[1] * (1.0 - self.mix_ratio)) + x
+
+
 class ResnetBlock1D(nn.Module):
     """GN->silu->conv + FiLM(scale_shift) + GN->silu->conv + shortcut.
 
