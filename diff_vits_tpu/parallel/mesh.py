@@ -67,17 +67,29 @@ _COLUMN_HINTS = ("to_q", "to_k", "to_v", "in_proj", "w_q", "w_k", "w_v",
 _ROW_HINTS = ("to_out", "out_proj", "ffn_2", "ff/out", "pwconv2", "fc")
 
 
-def _tp_spec(path: str, leaf, model_size: int, min_size: int) -> P:
-    if model_size <= 1 or getattr(leaf, "ndim", 0) < 2 \
-            or leaf.size < min_size:
+def _tp_spec(path: str, leaf, model_size: int, min_size: int,
+             fsdp_size: int = 1) -> P:
+    if getattr(leaf, "ndim", 0) < 2 or leaf.size < min_size:
         return P()
-    if any(h in path for h in _COLUMN_HINTS) and \
-            leaf.shape[-1] % model_size == 0:
-        return P(*([None] * (leaf.ndim - 1) + ["model"]))
-    if any(h in path for h in _ROW_HINTS) and \
-            leaf.shape[-2] % model_size == 0:
-        return P(*([None] * (leaf.ndim - 2) + ["model", None]))
-    return P()
+    spec = [None] * leaf.ndim
+    if model_size > 1:
+        if any(h in path for h in _COLUMN_HINTS) and \
+                leaf.shape[-1] % model_size == 0:
+            spec[-1] = "model"
+        elif any(h in path for h in _ROW_HINTS) and \
+                leaf.shape[-2] % model_size == 0:
+            spec[-2] = "model"
+    if fsdp_size > 1:
+        # ZeRO-3-style: scatter every large kernel over the 'fsdp' axis on
+        # a dim TP left alone; GSPMD all-gathers just-in-time per layer and
+        # reduce-scatters its gradient, so per-chip param+optimizer memory
+        # drops ~n_fsdp-fold (beyond the reference, which replicates all
+        # state on every DDP rank)
+        for dim in (-2, -1):
+            if spec[dim] is None and leaf.shape[dim] % fsdp_size == 0:
+                spec[dim] = "fsdp"
+                break
+    return P(*spec)
 
 
 def param_sharding_rules(mesh: Mesh, params, min_size: int = 1 << 16):
@@ -101,10 +113,13 @@ def state_sharding_rules(mesh: Mesh, state, min_size: int = 1 << 16):
     apply (the param path is a suffix of the moment path); scalars and PRNG
     keys are replicated.
     """
-    model_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    model_size = sizes.get("model", 1)
+    fsdp_size = sizes.get("fsdp", 1)
 
     def spec(path_entries, leaf):
         path = "/".join(str(getattr(e, "key", e)) for e in path_entries)
-        return NamedSharding(mesh, _tp_spec(path, leaf, model_size, min_size))
+        return NamedSharding(mesh, _tp_spec(path, leaf, model_size, min_size,
+                                            fsdp_size))
 
     return jax.tree_util.tree_map_with_path(spec, state)
