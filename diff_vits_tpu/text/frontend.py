@@ -317,13 +317,88 @@ def en_text_normalize(text: str) -> str:
 # Japanese G2P (parity: text/japanese.py; needs pyopenjtalk)
 # ---------------------------------------------------------------------------
 
+# kana -> openjtalk-style phones (the JA symbol set, symbols.py).
+# Used when pyopenjtalk is unavailable and the input is pure kana —
+# kana-to-phoneme is deterministic; kanji needs the full morphological
+# analyzer (text/japanese.py:77 in the reference).
+_KANA_BASE = {
+    'あ': 'a', 'い': 'i', 'う': 'u', 'え': 'e', 'お': 'o',
+    'か': 'k a', 'き': 'k i', 'く': 'k u', 'け': 'k e', 'こ': 'k o',
+    'が': 'g a', 'ぎ': 'g i', 'ぐ': 'g u', 'げ': 'g e', 'ご': 'g o',
+    'さ': 's a', 'し': 'sh i', 'す': 's u', 'せ': 's e', 'そ': 's o',
+    'ざ': 'z a', 'じ': 'j i', 'ず': 'z u', 'ぜ': 'z e', 'ぞ': 'z o',
+    'た': 't a', 'ち': 'ch i', 'つ': 'ts u', 'て': 't e', 'と': 't o',
+    'だ': 'd a', 'ぢ': 'j i', 'づ': 'z u', 'で': 'd e', 'ど': 'd o',
+    'な': 'n a', 'に': 'n i', 'ぬ': 'n u', 'ね': 'n e', 'の': 'n o',
+    'は': 'h a', 'ひ': 'h i', 'ふ': 'f u', 'へ': 'h e', 'ほ': 'h o',
+    'ば': 'b a', 'び': 'b i', 'ぶ': 'b u', 'べ': 'b e', 'ぼ': 'b o',
+    'ぱ': 'p a', 'ぴ': 'p i', 'ぷ': 'p u', 'ぺ': 'p e', 'ぽ': 'p o',
+    'ま': 'm a', 'み': 'm i', 'む': 'm u', 'め': 'm e', 'も': 'm o',
+    'や': 'y a', 'ゆ': 'y u', 'よ': 'y o',
+    'ら': 'r a', 'り': 'r i', 'る': 'r u', 'れ': 'r e', 'ろ': 'r o',
+    'わ': 'w a', 'を': 'o', 'ゔ': 'b u',
+}
+_KANA_DIGRAPH_ONSET = {
+    'き': 'ky', 'ぎ': 'gy', 'し': 'sh', 'じ': 'j', 'ち': 'ch',
+    'に': 'ny', 'ひ': 'hy', 'び': 'by', 'ぴ': 'py', 'み': 'my',
+    'り': 'ry',
+}
+_SMALL_Y = {'ゃ': 'a', 'ゅ': 'u', 'ょ': 'o'}
+_VOWELS = set('aiueoIU')
+# JA marks -> the shared punctuation symbols (japanese.py:42-55 rep_map)
+_JA_MARKS = {'、': ',', '。': '.', '！': '!', '？': '?', '：': ',',
+             '；': ',', '，': ',', '·': ',', '…': '…', '!': '!', '?': '?',
+             ',': ',', '.': '.', '-': '-', "'": "'"}
+
+
+def _kana_to_hiragana(text: str) -> str:
+    return ''.join(
+        chr(ord(ch) - 0x60) if 'ァ' <= ch <= 'ヶ' else ch for ch in text)
+
+
+def kana_g2p(text: str) -> List[str]:
+    """Deterministic kana -> openjtalk-phone conversion (fallback path)."""
+    text = _kana_to_hiragana(text)
+    phones: List[str] = []
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        nxt = text[i + 1] if i + 1 < len(text) else ''
+        if ch in _KANA_DIGRAPH_ONSET and nxt in _SMALL_Y:
+            phones += [_KANA_DIGRAPH_ONSET[ch], _SMALL_Y[nxt]]
+            i += 2
+            continue
+        if ch == 'っ':
+            phones.append('cl')
+        elif ch == 'ん':
+            phones.append('N')
+        elif ch == 'ー':
+            last_vowel = next((p for p in reversed(phones)
+                               if p in _VOWELS), None)
+            if last_vowel:
+                phones.append(last_vowel)
+        elif ch in _KANA_BASE:
+            phones += _KANA_BASE[ch].split(' ')
+        elif ch in _JA_MARKS:
+            phones.append(_JA_MARKS[ch])
+        elif ch.strip():
+            raise ValueError(f"non-kana character {ch!r}")
+        i += 1
+    return phones
+
+
 def ja_g2p(text: str) -> Tuple[List[str], List[int], List[int]]:
     try:
         import pyopenjtalk  # type: ignore
-    except ImportError as e:
-        raise ImportError("Japanese G2P requires pyopenjtalk.") from e
-    phones_raw = pyopenjtalk.g2p(text).split(' ')
-    phones = [p for p in phones_raw if p != 'pau'] or phones_raw
+        phones_raw = pyopenjtalk.g2p(text).split(' ')
+        phones = [p for p in phones_raw if p != 'pau'] or phones_raw
+    except ImportError:
+        try:
+            phones = kana_g2p(text)
+        except ValueError as e:
+            raise ImportError(
+                "Japanese G2P of kanji requires pyopenjtalk (the built-in "
+                f"fallback covers kana only: {e})") from e
     phones = ['_'] + phones + ['_']
     tones = [0] * len(phones)
     word2ph = [1] * len(phones)

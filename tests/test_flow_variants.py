@@ -1,0 +1,65 @@
+"""Flow-enabled VITS variants (model2.py:738 residual-coupling spec flow;
+bv2-style transformer flow): loss + infer run end to end and the flow is
+actually in the path (z_p != z)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diff_vits_tpu.core.config import VitsConfig
+from diff_vits_tpu.models.vits import VITS
+from diff_vits_tpu.text.symbols import symbols
+
+
+def _cfg(**kw):
+    return VitsConfig(inter_channels=8, hidden_channels=16,
+                      filter_channels=16, n_heads=2, n_layers=3,
+                      posterior_in_channels=8, posterior_n_layers=2,
+                      gin_channels=16, **kw)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("transformer", [False, True])
+def test_flow_variant_forward_and_infer(transformer):
+    cfg = _cfg(use_flow=True, use_transformer_flow=transformer)
+    model = VITS(len(symbols), cfg)
+    rng = np.random.default_rng(0)
+    b, t_x, t_y = 2, 6, 16
+    text = jnp.asarray(rng.integers(1, 50, (b, t_x)), jnp.int32)
+    tone = jnp.zeros((b, t_x), jnp.int32)
+    lang = jnp.zeros((b, t_x), jnp.int32)
+    spec = jnp.asarray(rng.normal(size=(b, t_y, 8)), jnp.float32)
+    text_lengths = jnp.asarray([t_x, t_x - 2], jnp.int32)
+    spec_lengths = jnp.asarray([t_y, t_y - 4], jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    (content, y_lengths, (l_len, l_kl, l_ph)), params = \
+        model.init_with_output(
+            {"params": key, "dropout": key}, text, text_lengths, spec,
+            spec_lengths, tone, lang, rngs_noise_key=key,
+            deterministic=True)
+    assert np.isfinite(float(l_len)) and np.isfinite(float(l_kl))
+    assert content.shape[0] == b
+
+    out, out_lengths = model.apply(
+        params, text, text_lengths, spec, spec_lengths, tone, lang,
+        noise_key=key, max_len=32, method=VITS.infer)
+    assert out.shape[1] == 32
+    assert np.isfinite(np.asarray(out)).all()
+
+    # the flow must change the result: compare against flow-off with the
+    # same non-flow params is not possible (param trees differ), so check
+    # the flow params exist and are used (grad flows through them)
+    flow_params = params["params"].get("flow")
+    assert flow_params, "flow submodule missing from param tree"
+
+    def loss(p):
+        _, _, (l_len2, l_kl2, _) = model.apply(
+            {"params": p}, text, text_lengths, spec, spec_lengths, tone,
+            lang, rngs_noise_key=key, deterministic=True)
+        return l_kl2
+
+    g = jax.grad(loss)(params["params"])
+    gnorm = sum(float(jnp.abs(x).sum())
+                for x in jax.tree_util.tree_leaves(g["flow"]))
+    assert gnorm > 0.0, "kl loss has no gradient through the flow"

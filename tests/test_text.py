@@ -86,3 +86,23 @@ def test_pinyin_lexicon_fallback_cached():
     b = fe._load_pinyin_lexicon()
     assert a is b  # module-level cache
     assert a["zhong"] == ["zh", "ong"]
+
+
+def test_ja_kana_fallback():
+    """Kana G2P fallback (no pyopenjtalk): openjtalk-style phones, katakana
+    folding, sokuon/hatsuon/long-vowel handling; all phones in the table."""
+    from diff_vits_tpu.text.frontend import ja_g2p, kana_g2p
+    from diff_vits_tpu.text.symbols import symbols as all_symbols
+
+    assert kana_g2p('こんにちは') == ['k', 'o', 'N', 'n', 'i', 'ch', 'i',
+                                 'h', 'a']
+    assert kana_g2p('きょう') == ['ky', 'o', 'u']
+    assert kana_g2p('がっこう') == ['g', 'a', 'cl', 'k', 'o', 'u']
+    assert kana_g2p('ラーメン') == ['r', 'a', 'a', 'm', 'e', 'N']
+    assert kana_g2p('こんにちは、') == ['k', 'o', 'N', 'n', 'i', 'ch', 'i',
+                                  'h', 'a', ',']
+    phones, tones, word2ph = ja_g2p('こんにちは')
+    assert phones[0] == '_' and phones[-1] == '_'
+    assert all(t == 0 for t in tones)
+    for p in phones:
+        assert p in all_symbols, p
