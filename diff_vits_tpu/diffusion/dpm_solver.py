@@ -16,6 +16,7 @@ model_wrapper's get_model_input_time).
 """
 from __future__ import annotations
 
+import inspect
 from typing import Callable
 
 import jax
@@ -29,6 +30,21 @@ def time_steps_uniform(ns: NoiseScheduleVP, steps: int):
     t_0 = 1.0 / ns.total_N
     t_T = ns.T
     return jnp.asarray(np.linspace(t_T, t_0, steps + 1), jnp.float32)
+
+
+def adapt_x0_fn(x0_fn: Callable) -> Callable:
+    """Normalize a model callback to ``(x, t_discrete, step_index)``.
+
+    Callbacks taking only ``(x, t_discrete)`` are wrapped; 3-arg callbacks
+    additionally receive the solver's grid index, letting them index
+    precomputed per-step conditioning (loop hoisting)."""
+    try:
+        n = len(inspect.signature(x0_fn).parameters)
+    except (TypeError, ValueError):
+        n = 2
+    if n >= 3:
+        return x0_fn
+    return lambda x, td, i: x0_fn(x, td)
 
 
 def sample_dpmpp(
@@ -52,10 +68,11 @@ def sample_dpmpp(
     sig = ns.marginal_std(ts)
     alp = jnp.exp(ns.marginal_log_mean_coeff(ts))
     b = x.shape[0]
+    fn = adapt_x0_fn(x0_fn)
 
     def eval_model(x, i):
         td = jnp.full((b,), ts[i] * ns.total_N - 1.0, jnp.float32)
-        return x0_fn(x, td)
+        return fn(x, td, i)
 
     def update1(x, m0, i):
         """First-order arrival at ts[i+1] (dpm_solver.py:583-600)."""

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diff_vits_tpu.diffusion.dpm_solver import time_steps_uniform
+from diff_vits_tpu.diffusion.dpm_solver import adapt_x0_fn, time_steps_uniform
 from diff_vits_tpu.diffusion.noise_schedule import NoiseScheduleVP
 
 
@@ -42,9 +42,11 @@ def sample_unipc(
     alp = jnp.exp(ns.marginal_log_mean_coeff(ts))
     b = x.shape[0]
 
+    fn = adapt_x0_fn(x0_fn)
+
     def eval_model(x, i):
         td = jnp.full((b,), ts[i] * ns.total_N - 1.0, jnp.float32)
-        return x0_fn(x, td)
+        return fn(x, td, i)
 
     def bh_coeffs(h, rk):
         """R, b for order 2 (uni_pc.py:509-545). hh = -h (predict_x0)."""

@@ -52,10 +52,16 @@ class DiffVits(nn.Module):
         return self.diff_model.encode_prompt(refer, refer_lengths,
                                              deterministic=deterministic)
 
-    def denoise_cached(self, x, t, cond, prompt_h, prompt_keep, *,
+    def denoise_cached(self, x, t, cond, prompt_h, prompt_keep, *, emb=None,
                        deterministic: bool = True):
         return self.diff_model.denoise(x, t, cond, prompt_h, prompt_keep,
-                                       deterministic=deterministic)
+                                       emb=emb, deterministic=deterministic)
+
+    def embed_time(self, timesteps):
+        return self.diff_model.embed_time(timesteps)
+
+    def embed_text(self, prompt_h):
+        return self.diff_model.embed_text(prompt_h)
 
     def vits_infer(self, text, text_lengths, refer, refer_lengths, tone,
                    language, *, noise_key, noise_scale=0.667,
@@ -170,9 +176,27 @@ def synthesize(
     prompt_h, prompt_keep = model.apply(
         params, refer, refer_lengths, method=DiffVits.encode_prompt)
 
-    def x0_fn(x, t_discrete):
+    # hoist the step-invariant UNet conditioning out of the solver loop:
+    # the time grid is static, so every step's time+text embedding is
+    # computed here in one batched call (the reference recomputes both in
+    # each of its ~31 UNet calls, model3.py:902-914)
+    from diff_vits_tpu.diffusion.dpm_solver import time_steps_uniform
+    if sample_method in ("unipc", "dpmsolver"):
+        ts_grid = time_steps_uniform(ns, sampling_steps)
+        td_grid = ts_grid * ns.total_N - 1.0
+        time_embs = model.apply(params, td_grid, method=DiffVits.embed_time)
+        aug = model.apply(params, prompt_h, method=DiffVits.embed_text)
+        emb_all = (time_embs[:, None, :].astype(jnp.float32)
+                   + aug[None, :, :].astype(jnp.float32))
+    else:
+        emb_all = None
+
+    def x0_fn(x, t_discrete, step_index=None):
+        emb = None if emb_all is None or step_index is None \
+            else emb_all[step_index]
         return model.apply(params, x, t_discrete, content, prompt_h,
-                           prompt_keep, method=DiffVits.denoise_cached)
+                           prompt_keep, emb=emb,
+                           method=DiffVits.denoise_cached)
 
     if sample_method == "unipc":
         mel = sample_unipc(x0_fn, ns, x, steps=sampling_steps, order=2)

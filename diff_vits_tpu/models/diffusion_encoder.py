@@ -49,12 +49,23 @@ class DiffusionEncoder(nn.Module):
         prompt_h = prompt_h * prompt_keep.astype(prompt_h.dtype)[..., None]
         return prompt_h, prompt_keep
 
-    def denoise(self, x, t, cond, prompt_h, prompt_keep, *,
+    def denoise(self, x, t, cond, prompt_h, prompt_keep, *, emb=None,
                 deterministic: bool = True):
-        """One UNet x0-prediction call given pre-encoded prompt keys."""
+        """One UNet x0-prediction call given pre-encoded prompt keys.
+
+        ``emb`` optionally injects the precomputed time+text embedding so
+        the solver loop skips its recomputation every step."""
         h = jnp.concatenate([x, cond], axis=-1)
         return self.unet(h, t, prompt_h, encoder_attention_mask=prompt_keep,
-                         deterministic=deterministic)
+                         emb=emb, deterministic=deterministic)
+
+    def embed_time(self, timesteps):
+        """Timestep-MLP embeddings [N, 4*ch0] for a batch of solver times."""
+        return self.unet(None, timesteps, None, embedding_request="time")
+
+    def embed_text(self, prompt_h):
+        """Pooled 'text' additive embedding [B, 4*ch0] of the prompt keys."""
+        return self.unet(None, None, prompt_h, embedding_request="text")
 
     def __call__(self, x, t, cond, prompt, cond_lengths, prompt_lengths, *,
                  deterministic: bool = True):

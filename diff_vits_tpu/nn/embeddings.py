@@ -34,6 +34,31 @@ def get_timestep_embedding(timesteps: jax.Array, embedding_dim: int,
     return emb
 
 
+class GaussianFourierProjection(nn.Module):
+    """Gaussian Fourier features for continuous noise levels
+    (embeddings.py:221). The random projection is fixed at init
+    (requires_grad=False in the reference) — enforced with stop_gradient.
+    """
+    embedding_size: int = 256
+    scale: float = 1.0
+    log: bool = True
+    flip_sin_to_cos: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "weight",
+            lambda k: jax.random.normal(k, (self.embedding_size,)) * self.scale)
+        w = jax.lax.stop_gradient(w)
+        if self.log:
+            x = jnp.log(x)
+        x_proj = x[:, None] * w[None, :] * (2.0 * jnp.pi)
+        parts = [jnp.sin(x_proj), jnp.cos(x_proj)]
+        if self.flip_sin_to_cos:
+            parts = parts[::-1]
+        return jnp.concatenate(parts, axis=-1)
+
+
 class Timesteps(nn.Module):
     """embeddings.py:204. UNet default: flip_sin_to_cos=True, shift=0."""
     num_channels: int

@@ -20,6 +20,68 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def sinusoidal_positional_embedding(positions: jax.Array, embedding_dim: int,
+                                    padding_idx: int = 0) -> jax.Array:
+    """tensor2tensor-style sinusoidal position table lookup
+    (operations.py:200-262, ``SinusoidalPositionalEmbedding``).
+
+    ``positions`` are int ids [B, T] where ``padding_idx`` rows embed to
+    zero; non-pad tokens use position ``padding_idx + 1 + index`` exactly as
+    the reference's ``make_positions``.
+    """
+    half_dim = embedding_dim // 2
+    freq = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32)
+                   * -(math.log(10000.0) / (half_dim - 1)))
+    args = positions.astype(jnp.float32)[..., None] * freq
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, [(0, 0)] * (emb.ndim - 1) + [(0, 1)])
+    return jnp.where((positions == padding_idx)[..., None], 0.0, emb)
+
+
+class SinusoidalPositionalEmbedding(nn.Module):
+    """Padding-aware sinusoidal positions for a token batch
+    (operations.py:200). Input [B, T] token ids; pads embed to zero."""
+    embedding_dim: int
+    padding_idx: int = 0
+
+    def __call__(self, tokens):
+        nonpad = (tokens != self.padding_idx).astype(jnp.int32)
+        positions = jnp.cumsum(nonpad, axis=1) * nonpad + self.padding_idx
+        return sinusoidal_positional_embedding(
+            positions, self.embedding_dim, self.padding_idx)
+
+
+def init_kv_cache(batch: int, max_len: int, num_heads: int, head_dim: int,
+                  dtype=jnp.float32):
+    """Fixed-size decode cache — the JAX-native equivalent of fairseq
+    ``MultiheadAttention``'s ``saved_state`` incremental KV reuse
+    (operations.py:304,432-470). Static shapes keep the step jittable."""
+    shape = (batch, num_heads, max_len, head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype),
+            "index": jnp.zeros((), jnp.int32)}
+
+
+def incremental_attention_step(q_t, k_t, v_t, cache):
+    """One autoregressive decode step with cached keys/values.
+
+    q_t/k_t/v_t: [B, H, 1, D] projections of the new token. Appends k/v at
+    ``cache['index']`` and attends the single query over all cached
+    positions (prefix-causal — identical to fairseq's incremental decode,
+    operations.py:432-470). Returns (out [B, H, 1, D], new_cache).
+    """
+    idx = cache["index"]
+    k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_t, idx, axis=2)
+    v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_t, idx, axis=2)
+    scale = q_t.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhsd->bhqs", q_t * scale, k)
+    pos = jnp.arange(k.shape[2])[None, None, None, :]
+    scores = jnp.where(pos > idx, -jnp.inf, scores)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqs,bhsd->bhqd", p, v)
+    return out, {"k": k, "v": v, "index": idx + 1}
+
+
 class ConvLayer(nn.Module):
     """LN -> conv(k). Parity: model.py:153 (ConvLayer = LayerNorm + ConvTBC)."""
     c_out: int

@@ -82,18 +82,120 @@ class GEGLUFeedForward(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="out")(h)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's exact tree layout/initializers,
+    returning the raw arrays (for handing to fused Pallas kernels)."""
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features))
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,)) if self.use_bias else None)
+        return kernel, bias
+
+
+class _LayerNormParams(nn.Module):
+    """nn.LayerNorm-compatible scale/bias holder."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        return scale, bias
+
+
+class _CrossAttentionParams(nn.Module):
+    """CrossAttention-compatible q/k/v/out weight holder."""
+    inner: int
+    out_dim: int
+    ctx_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, q_in: int):
+        ctxd = q_in if self.ctx_dim is None else self.ctx_dim
+        wq, _ = _DenseParams(self.inner, False, name="to_q")(q_in)
+        wk, _ = _DenseParams(self.inner, False, name="to_k")(ctxd)
+        wv, _ = _DenseParams(self.inner, False, name="to_v")(ctxd)
+        wo, bo = _DenseParams(self.out_dim, True, name="to_out")(self.inner)
+        return wq, wk, wv, wo, bo
+
+
+class _GEGLUParams(nn.Module):
+    """GEGLUFeedForward-compatible weight holder."""
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self):
+        inner = self.dim * self.mult
+        w1, b1 = _DenseParams(inner * 2, True, name="proj")(self.dim)
+        w2, b2 = _DenseParams(self.dim, True, name="out")(inner)
+        return w1, b1, w2, b2
+
+
 class BasicTransformerBlock(nn.Module):
-    """LN->self-attn, LN->cross-attn, LN->GEGLU FF. attention.py:26."""
+    """LN->self-attn, LN->cross-attn, LN->GEGLU FF. attention.py:26.
+
+    ``use_fused='auto'|True|False``: route through the Pallas fused
+    sub-block kernels (ops/fused_transformer.py) — one device op per
+    attention / feed-forward instead of ~20. 'auto' enables them on TPU for
+    deterministic (inference) calls; the training path keeps the XLA
+    formulation for autodiff. Parameter trees are identical either way.
+    """
     dim: int
     num_heads: int
     head_dim: int
     cross_attention_dim: Optional[int] = None
     dropout: float = 0.0
+    use_fused: object = "auto"
     dtype: jnp.dtype = jnp.float32
+
+    def _fused_enabled(self, deterministic, attention_bias):
+        if not deterministic or attention_bias is not None:
+            return False
+        if self.num_heads * self.head_dim != self.dim:
+            return False
+        if self.use_fused == "auto":
+            import os
+            env = os.environ.get("DIFF_VITS_FUSED")
+            if env is not None:
+                return env not in ("0", "false", "off")
+            return jax.default_backend() == "tpu"
+        return bool(self.use_fused)
 
     @nn.compact
     def __call__(self, x, context=None, attention_bias=None,
                  context_bias=None, *, deterministic: bool = True):
+        if self._fused_enabled(deterministic, attention_bias):
+            from diff_vits_tpu.ops import fused_transformer as FT
+            cdt = self.dtype
+
+            def c(w):  # pre-cast weights once in XLA (halves kernel VMEM)
+                return w.astype(cdt)
+
+            s1, b1 = _LayerNormParams(name="norm1")(self.dim)
+            wq, wk, wv, wo, bo = _CrossAttentionParams(
+                self.dim, self.dim, name="attn1")(self.dim)
+            x = FT.fused_self_attention(
+                x, s1, b1, c(wq), c(wk), c(wv), c(wo), bo,
+                heads=self.num_heads, compute_dtype=cdt)
+            if self.cross_attention_dim is not None:
+                s2, b2 = _LayerNormParams(name="norm2")(self.dim)
+                wq2, wk2, wv2, wo2, bo2 = _CrossAttentionParams(
+                    self.dim, self.dim, ctx_dim=self.cross_attention_dim,
+                    name="attn2")(self.dim)
+                x = FT.fused_cross_attention(
+                    x, context, context_bias, s2, b2, c(wq2), c(wk2),
+                    c(wv2), c(wo2), bo2, heads=self.num_heads,
+                    compute_dtype=cdt)
+            s3, b3 = _LayerNormParams(name="norm3")(self.dim)
+            w1, bb1, w2, bb2 = _GEGLUParams(self.dim, name="ff")()
+            return FT.fused_geglu_ff(x, s3, b3, c(w1), bb1, c(w2), bb2,
+                                     compute_dtype=cdt)
+
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + CrossAttention(self.dim, self.num_heads, self.head_dim,
                                dropout=self.dropout, dtype=self.dtype,
@@ -111,6 +213,83 @@ class BasicTransformerBlock(nn.Module):
         return x + GEGLUFeedForward(self.dim, dropout=self.dropout,
                                     dtype=self.dtype, name="ff")(
                                         h, deterministic=deterministic)
+
+
+class AdaLayerNorm(nn.Module):
+    """LayerNorm modulated by a learned timestep embedding — the
+    BasicTransformerBlock ada_norm variant (attention.py:320-337).
+
+    ``timestep`` is a scalar int (the reference chunks the [2C] embedding in
+    half); a batched [B] timestep yields per-example [B, 1, C] scale/shift.
+    """
+    embedding_dim: int
+    num_embeddings: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, timestep):
+        emb = nn.Embed(self.num_embeddings, self.embedding_dim,
+                       dtype=self.dtype, name="emb")(timestep)
+        emb = nn.Dense(2 * self.embedding_dim, dtype=self.dtype,
+                       name="linear")(nn.silu(emb))
+        scale, shift = jnp.split(emb, 2, axis=-1)
+        if scale.ndim == 2:  # batched timesteps broadcast over time
+            scale, shift = scale[:, None, :], shift[:, None, :]
+        x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-5,
+                         dtype=self.dtype, name="norm")(x)
+        return x * (1 + scale) + shift
+
+
+class AdaGroupNorm(nn.Module):
+    """GroupNorm modulated by a conditioning embedding (attention.py:360-388).
+
+    Channel-last [B, T, C]; the reference's un-affine ``F.group_norm`` becomes
+    a scale/bias-free flax GroupNorm.
+    """
+    embedding_dim: int
+    out_dim: int
+    num_groups: int
+    act_fn: Optional[str] = None
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        if self.act_fn is not None:
+            emb = {"silu": nn.silu, "swish": nn.silu, "mish": _mish,
+                   "gelu": nn.gelu}[self.act_fn](emb)
+        emb = nn.Dense(self.out_dim * 2, dtype=self.dtype, name="linear")(emb)
+        scale, shift = jnp.split(emb, 2, axis=-1)  # [B, C] each
+        x = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
+                         use_bias=False, use_scale=False, dtype=self.dtype,
+                         name="norm")(x)
+        return x * (1 + scale[:, None, :]) + shift[:, None, :]
+
+
+def _mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+class SpatialNorm(nn.Module):
+    """Spatially-conditioned GroupNorm (attention_processor.py:1575-1594),
+    1-D: the conditioning latent ``zq`` is nearest-resized to the feature
+    length and modulates an affine 32-group GroupNorm via 1x1 convs.
+    """
+    f_channels: int
+    zq_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, f, zq):
+        # f: [B, T, C_f], zq: [B, S, C_zq]
+        t, s = f.shape[1], zq.shape[1]
+        idx = (jnp.arange(t) * s) // t  # torch nearest: floor(dst*S/T)
+        zq = zq[:, idx, :]
+        norm_f = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+                              name="norm_layer")(f)
+        y = nn.Dense(self.f_channels, dtype=self.dtype, name="conv_y")(zq)
+        b = nn.Dense(self.f_channels, dtype=self.dtype, name="conv_b")(zq)
+        return norm_f * y + b
 
 
 class Transformer1D(nn.Module):
@@ -457,6 +636,7 @@ class UNet1DConditionModel(nn.Module):
     @nn.compact
     def __call__(self, sample, timestep, encoder_hidden_states,
                  encoder_attention_mask=None, attention_mask=None, *,
+                 emb=None, embedding_request=None,
                  deterministic: bool = True):
         """
         Args:
@@ -465,6 +645,14 @@ class UNet1DConditionModel(nn.Module):
           encoder_hidden_states: [B, S, cross_attention_dim] prompt tokens.
           encoder_attention_mask: [B, S] keep mask (1 = keep) or None.
           attention_mask: [B, T] keep mask for self-attention or None.
+          emb: optional precomputed [B, 4*ch0] time+text embedding — at
+            inference the solver's time grid is static, so all step
+            embeddings can be computed in one batched call outside the
+            denoise loop instead of ~30x inside it.
+          embedding_request: 'time' -> return only the timestep-MLP
+            embedding for ``timestep`` [N, 4*ch0]; 'text' -> return only
+            the pooled text embedding of ``encoder_hidden_states``
+            [B, 4*ch0]. Used by the loop-hoisting precompute.
         Returns:
           [B, T, C_out] prediction.
         """
@@ -472,6 +660,39 @@ class UNet1DConditionModel(nn.Module):
         n_blocks = len(ch)
         heads = self.attention_head_dim
         groups = self.norm_num_groups
+        time_embed_dim = ch[0] * 4
+
+        # 1. time + additive text embedding (or just the requested part)
+        if embedding_request == "text":
+            add_heads = min(self.addition_embed_type_num_heads,
+                            self.cross_attention_dim)
+            return TextTimeEmbedding(
+                self.cross_attention_dim, time_embed_dim,
+                num_heads=add_heads, dtype=self.dtype,
+                name="add_embedding")(encoder_hidden_states)
+        if emb is None or embedding_request == "time":
+            timesteps = jnp.atleast_1d(jnp.asarray(timestep))
+            if embedding_request != "time" and \
+                    timesteps.shape[0] != sample.shape[0]:
+                timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+            t_emb = Timesteps(ch[0], self.flip_sin_to_cos,
+                              self.freq_shift)(timesteps)
+            t_emb = t_emb.astype(self.dtype)
+            emb = TimestepEmbedding(time_embed_dim, dtype=self.dtype,
+                                    name="time_embedding")(t_emb)
+            if embedding_request == "time":
+                return emb
+            if self.addition_embed_type == "text":
+                # clamp pooling heads so dim_per_head >= 1 on small configs
+                add_heads = min(self.addition_embed_type_num_heads,
+                                self.cross_attention_dim)
+                aug = TextTimeEmbedding(
+                    self.cross_attention_dim, time_embed_dim,
+                    num_heads=add_heads, dtype=self.dtype,
+                    name="add_embedding")(encoder_hidden_states)
+                emb = emb + aug
+        else:
+            emb = emb.astype(self.dtype)
 
         # masks -> additive bias [B, 1, L] (unet_1d_condition.py:807-818)
         def to_bias(m):
@@ -481,25 +702,6 @@ class UNet1DConditionModel(nn.Module):
 
         attn_bias = to_bias(attention_mask)
         ctx_bias = to_bias(encoder_attention_mask)
-
-        # 1. time + additive text embedding
-        timesteps = jnp.atleast_1d(jnp.asarray(timestep))
-        if timesteps.shape[0] != sample.shape[0]:
-            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
-        t_emb = Timesteps(ch[0], self.flip_sin_to_cos, self.freq_shift)(timesteps)
-        t_emb = t_emb.astype(self.dtype)
-        time_embed_dim = ch[0] * 4
-        emb = TimestepEmbedding(time_embed_dim, dtype=self.dtype,
-                                name="time_embedding")(t_emb)
-        if self.addition_embed_type == "text":
-            # clamp pooling heads so dim_per_head >= 1 on small configs
-            add_heads = min(self.addition_embed_type_num_heads,
-                            self.cross_attention_dim)
-            aug = TextTimeEmbedding(self.cross_attention_dim, time_embed_dim,
-                                    num_heads=add_heads,
-                                    dtype=self.dtype, name="add_embedding")(
-                                        encoder_hidden_states)
-            emb = emb + aug
 
         # 2. pre-process
         sample = nn.Conv(ch[0], (3,), padding="SAME", dtype=self.dtype,

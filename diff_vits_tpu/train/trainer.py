@@ -52,6 +52,19 @@ def clip_by_global_norm_scheduled(grads, step, cfg: Config):
     return jax.tree_util.tree_map(lambda g: g * scale, grads), g_norm
 
 
+def clip_grad_value(grads, clip_value, norm_type: float = 2.0):
+    """Element-wise value clip returning the pre-clip total norm
+    (commons.py:146-161 semantics; the reference sums per-param
+    norms^p over all params, which equals the global p-norm)."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    total = sum(jnp.sum(jnp.abs(l).astype(jnp.float32) ** norm_type)
+                for l in leaves) ** (1.0 / norm_type)
+    if clip_value is not None:
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.clip(g, -clip_value, clip_value), grads)
+    return grads, total
+
+
 def make_train_step(model: DiffVits, tx: optax.GradientTransformation,
                     cfg: Config):
     """Build the jitted SPMD train step.

@@ -167,3 +167,174 @@ def test_repeat_expand_2d_matches_reference_loop():
         content = rng.normal(size=(4, src)).astype(np.float32)
         np.testing.assert_array_equal(repeat_expand_2d(content, tgt),
                                       ref_loop(content, tgt))
+
+
+def test_gaussian_fourier_projection_parity():
+    from unet1d.embeddings import GaussianFourierProjection as RefGFP
+    from diff_vits_tpu.nn.embeddings import GaussianFourierProjection
+
+    ref = RefGFP(embedding_size=16, scale=2.0, log=True,
+                 flip_sin_to_cos=False).eval()
+    w = ref.state_dict()["weight"].numpy()
+
+    x = np.asarray([0.5, 1.0, 3.7], np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(x)).numpy()
+
+    model = GaussianFourierProjection(embedding_size=16, scale=2.0)
+    out = model.apply({"params": {"weight": jnp.asarray(w)}}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), out_ref, atol=1e-5)
+
+    # flip variant swaps sin/cos halves
+    ref2 = RefGFP(embedding_size=16, scale=1.0, log=False,
+                  flip_sin_to_cos=True).eval()
+    w2 = ref2.state_dict()["weight"].numpy()
+    with torch.no_grad():
+        out_ref2 = ref2(torch.tensor(x)).numpy()
+    model2 = GaussianFourierProjection(embedding_size=16, log=False,
+                                       flip_sin_to_cos=True)
+    out2 = model2.apply({"params": {"weight": jnp.asarray(w2)}},
+                        jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out2), out_ref2, atol=1e-5)
+
+
+def test_ada_layer_norm_parity():
+    from unet1d.attention import AdaLayerNorm as RefALN
+
+    c, n_emb = 8, 10
+    ref = RefALN(c, n_emb).eval()
+    state = ref.state_dict()
+
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(2, 5, c)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(x), torch.tensor(3)).numpy()
+
+    model = U.AdaLayerNorm(c, n_emb)
+    params = {"emb": tp.embedding(state, "emb"),
+              "linear": tp.dense_from_linear(state, "linear")}
+    out = model.apply({"params": params}, jnp.asarray(x), jnp.asarray(3))
+    np.testing.assert_allclose(np.asarray(out), out_ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("act", [None, "silu"])
+def test_ada_group_norm_parity(act):
+    from unet1d.attention import AdaGroupNorm as RefAGN
+
+    e_dim, c, groups = 6, 8, 4
+    ref = RefAGN(e_dim, c, groups, act_fn=act).eval()
+    state = ref.state_dict()
+
+    rng = np.random.default_rng(7)
+    b, t = 2, 9
+    x = rng.normal(size=(b, t, c)).astype(np.float32)
+    emb = rng.normal(size=(b, e_dim)).astype(np.float32)
+    with torch.no_grad():
+        # reference is [B, C, H, W]; use H=1
+        out_ref = ref(bct(x)[:, :, None, :],
+                      torch.tensor(emb)).numpy()[:, :, 0, :]
+
+    model = U.AdaGroupNorm(e_dim, c, groups, act_fn=act)
+    params = {"linear": tp.dense_from_linear(state, "linear")}
+    out = model.apply({"params": params}, jnp.asarray(x), jnp.asarray(emb))
+    np.testing.assert_allclose(np.asarray(out),
+                               out_ref.transpose(0, 2, 1), atol=1e-4)
+
+
+def test_spatial_norm_parity():
+    from unet1d.attention_processor import SpatialNorm as RefSN
+
+    cf, cz = 64, 16
+    ref = RefSN(cf, cz).eval()
+    state = ref.state_dict()
+
+    rng = np.random.default_rng(8)
+    b, t, s = 2, 12, 5
+    f = rng.normal(size=(b, t, cf)).astype(np.float32)
+    zq = rng.normal(size=(b, s, cz)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(bct(f)[:, :, None, :],
+                      bct(zq)[:, :, None, :]).numpy()[:, :, 0, :]
+
+    model = U.SpatialNorm(cf, cz)
+    params = {
+        "norm_layer": tp.groupnorm(state, "norm_layer"),
+        "conv_y": {"kernel": state["conv_y.weight"].numpy()[:, :, 0, 0].T,
+                   "bias": state["conv_y.bias"].numpy()},
+        "conv_b": {"kernel": state["conv_b.weight"].numpy()[:, :, 0, 0].T,
+                   "bias": state["conv_b.bias"].numpy()},
+    }
+    out = model.apply({"params": params}, jnp.asarray(f), jnp.asarray(zq))
+    np.testing.assert_allclose(np.asarray(out),
+                               out_ref.transpose(0, 2, 1), atol=1e-4)
+
+
+def test_clip_grad_value_parity():
+    import commons as ref_commons
+    from diff_vits_tpu.train.trainer import clip_grad_value
+
+    rng = np.random.default_rng(9)
+    g1 = rng.normal(size=(4, 3)).astype(np.float32)
+    g2 = rng.normal(size=(5,)).astype(np.float32) * 2
+
+    p_t = [torch.nn.Parameter(torch.zeros(4, 3)),
+           torch.nn.Parameter(torch.zeros(5))]
+    p_t[0].grad = torch.tensor(g1.copy())
+    p_t[1].grad = torch.tensor(g2.copy())
+    total_ref = ref_commons.clip_grad_value_(p_t, 0.5)
+
+    grads = {"a": jnp.asarray(g1), "b": jnp.asarray(g2)}
+    clipped, total = clip_grad_value(grads, 0.5)
+    np.testing.assert_allclose(float(total), total_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(clipped["a"]),
+                               p_t[0].grad.numpy(), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(clipped["b"]),
+                               p_t[1].grad.numpy(), atol=1e-7)
+
+
+def test_sinusoidal_positional_embedding_parity():
+    import operations as ref_ops
+
+    dim, pad_idx = 16, 0
+    ref = ref_ops.SinusoidalPositionalEmbedding(dim, pad_idx, init_size=32)
+
+    tokens = np.array([[5, 9, 3, 0, 0], [7, 0, 0, 0, 0]], np.int64)
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(tokens)).numpy()
+
+    model = fs.SinusoidalPositionalEmbedding(dim, pad_idx)
+    out = model.apply({}, jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(out), out_ref, atol=1e-5)
+
+    # odd embedding dim zero-pads the last channel
+    ref_odd = ref_ops.SinusoidalPositionalEmbedding(15, pad_idx, init_size=32)
+    with torch.no_grad():
+        out_ref_odd = ref_odd(torch.tensor(tokens)).numpy()
+    out_odd = fs.SinusoidalPositionalEmbedding(15, pad_idx).apply(
+        {}, jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(out_odd), out_ref_odd, atol=1e-5)
+
+
+def test_incremental_attention_matches_causal_full():
+    # T incremental decode steps == causal full attention (fairseq
+    # MultiheadAttention saved_state semantics, operations.py:432-470)
+    rng = np.random.default_rng(10)
+    b, h, t, d = 2, 4, 7, 8
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+
+    scores = jnp.einsum("bhqd,bhsd->bhqs", q * d ** -0.5, k)
+    causal = np.triu(np.ones((t, t), bool), 1)
+    scores = jnp.where(jnp.asarray(causal)[None, None], -jnp.inf, scores)
+    full = jnp.einsum("bhqs,bhsd->bhqd", jax.nn.softmax(scores, -1), v)
+
+    cache = fs.init_kv_cache(b, t, h, d)
+    outs = []
+    step = jax.jit(fs.incremental_attention_step)
+    for i in range(t):
+        o, cache = step(q[:, :, i:i + 1], k[:, :, i:i + 1],
+                        v[:, :, i:i + 1], cache)
+        outs.append(o)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(outs, axis=2)),
+                               np.asarray(full), atol=1e-5)
