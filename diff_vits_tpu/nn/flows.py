@@ -96,14 +96,28 @@ class ResidualCouplingLayer(nn.Module):
 
 
 class ConvFlow(nn.Module):
-    """RQ-spline coupling over DDSConv. Parity: modules.py:459."""
+    """RQ-spline coupling over DDSConv. Parity: modules.py:459.
+
+    The reverse (sampling) path can evaluate the spline as one Pallas
+    program (ops/spline_pallas.py) — opt-in via ``DIFF_VITS_FUSED`` or
+    ``use_fused=True``; the forward/training path keeps the XLA
+    formulation for autodiff.
+    """
     in_channels: int
     filter_channels: int
     kernel_size: int
     n_layers: int
     num_bins: int = 10
     tail_bound: float = 5.0
+    use_fused: object = "auto"
     dtype: jnp.dtype = jnp.float32
+
+    def _fused_enabled(self, reverse: bool) -> bool:
+        if not reverse:
+            return False
+        from diff_vits_tpu.ops import fused_gate
+        return fused_gate("DIFF_VITS_FUSED_SPLINE", self.use_fused,
+                          default=False)
 
     @nn.compact
     def __call__(self, x, x_mask, g=None, reverse: bool = False,
@@ -126,9 +140,15 @@ class ConvFlow(nn.Module):
         uh = h[..., self.num_bins:2 * self.num_bins] / math.sqrt(self.filter_channels)
         ud = h[..., 2 * self.num_bins:]
 
-        x1_t, logabsdet = piecewise_rational_quadratic_transform(
-            x1, uw, uh, ud, inverse=reverse, tails="linear",
-            tail_bound=self.tail_bound)
+        if self._fused_enabled(reverse):
+            from diff_vits_tpu.ops.spline_pallas import unconstrained_rqs_pallas
+            x1_t, logabsdet = unconstrained_rqs_pallas(
+                x1, uw, uh, ud, inverse=reverse,
+                tail_bound=self.tail_bound)
+        else:
+            x1_t, logabsdet = piecewise_rational_quadratic_transform(
+                x1, uw, uh, ud, inverse=reverse, tails="linear",
+                tail_bound=self.tail_bound)
 
         x_out = jnp.concatenate([x0, x1_t], axis=-1) * x_mask
         logdet = jnp.sum(logabsdet * x_mask, axis=(1, 2))

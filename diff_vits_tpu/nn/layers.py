@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from diff_vits_tpu.nn.param_holders import DenseParams as _DenseParams
+
 
 class LayerNorm(nn.Module):
     """LayerNorm over the channel axis. Parity: modules.py:17 (eps 1e-5)."""
@@ -229,6 +231,13 @@ class MultiHeadAttention(nn.Module):
 
     Parity: attentions.py:142 (window_size rel K/V with heads_share, proximal
     bias, block-local masking, -1e4 additive mask). Layout [B, T, C].
+
+    ``use_fused='auto'|True|False`` routes the production configuration
+    (deterministic self-attention, windowed rel K/V, heads_share, no
+    proximal/block options) through the single Pallas kernel in
+    ops/rel_attention.py. 'auto' resolves the ``DIFF_VITS_FUSED`` env var
+    and otherwise stays on the XLA formulation; parameter trees are
+    identical either way.
     """
     channels: int
     out_channels: int
@@ -239,11 +248,45 @@ class MultiHeadAttention(nn.Module):
     block_length: Optional[int] = None
     proximal_bias: bool = False
     proximal_init: bool = False
+    use_fused: object = "auto"
     dtype: jnp.dtype = jnp.float32
+
+    def _fused_enabled(self, deterministic: bool, is_self: bool) -> bool:
+        if not (deterministic and is_self):
+            return False
+        if (self.window_size is None or not self.heads_share
+                or self.proximal_bias or self.block_length is not None):
+            return False
+        from diff_vits_tpu.ops import fused_gate
+        # ~flat A/B at B=1, XLA faster at B>1: stays opt-in
+        return fused_gate("DIFF_VITS_FUSED_RELATTN", self.use_fused,
+                          default=False)
 
     @nn.compact
     def __call__(self, x, c, attn_mask=None, *, deterministic: bool = True):
         k_channels = self.channels // self.n_heads
+
+        if self._fused_enabled(deterministic, x is c):
+            from diff_vits_tpu.ops import rel_attention as RA
+            rel_stddev = k_channels ** -0.5
+            wq, bq = _DenseParams(self.channels, name="conv_q")(x.shape[-1])
+            wk, bk = _DenseParams(self.channels, name="conv_k")(x.shape[-1])
+            wv, bv = _DenseParams(self.channels, name="conv_v")(x.shape[-1])
+            emb_rel_k = self.param(
+                "emb_rel_k", nn.initializers.normal(rel_stddev),
+                (1, self.window_size * 2 + 1, k_channels))
+            emb_rel_v = self.param(
+                "emb_rel_v", nn.initializers.normal(rel_stddev),
+                (1, self.window_size * 2 + 1, k_channels))
+            wo, bo = _DenseParams(self.out_channels,
+                                  name="conv_o")(self.channels)
+            mask = None if attn_mask is None else attn_mask[:, 0]
+            cdt = self.dtype
+            return RA.fused_rel_self_attention(
+                x, mask, wq.astype(cdt), bq, wk.astype(cdt), bk,
+                wv.astype(cdt), bv, wo.astype(cdt), bo, emb_rel_k, emb_rel_v,
+                heads=self.n_heads, window=self.window_size,
+                compute_dtype=cdt)
         q = nn.Dense(self.channels, dtype=self.dtype, name="conv_q")(x)
         k = nn.Dense(self.channels, dtype=self.dtype, name="conv_k")(c)
         v = nn.Dense(self.channels, dtype=self.dtype, name="conv_v")(c)

@@ -23,6 +23,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from diff_vits_tpu.nn.embeddings import TextTimeEmbedding, TimestepEmbedding, Timesteps
+from diff_vits_tpu.nn.param_holders import (
+    ConvParams as _ConvParams,
+    DenseParams as _DenseParams,
+    NormParams as _LayerNormParams,
+)
 
 
 class CrossAttention(nn.Module):
@@ -82,31 +87,6 @@ class GEGLUFeedForward(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="out")(h)
 
 
-class _DenseParams(nn.Module):
-    """Parameter holder with nn.Dense's exact tree layout/initializers,
-    returning the raw arrays (for handing to fused Pallas kernels)."""
-    features: int
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self, in_features: int):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (in_features, self.features))
-        bias = (self.param("bias", nn.initializers.zeros,
-                           (self.features,)) if self.use_bias else None)
-        return kernel, bias
-
-
-class _LayerNormParams(nn.Module):
-    """nn.LayerNorm-compatible scale/bias holder."""
-
-    @nn.compact
-    def __call__(self, features: int):
-        scale = self.param("scale", nn.initializers.ones, (features,))
-        bias = self.param("bias", nn.initializers.zeros, (features,))
-        return scale, bias
-
-
 class _CrossAttentionParams(nn.Module):
     """CrossAttention-compatible q/k/v/out weight holder."""
     inner: int
@@ -141,9 +121,12 @@ class BasicTransformerBlock(nn.Module):
 
     ``use_fused='auto'|True|False``: route through the Pallas fused
     sub-block kernels (ops/fused_transformer.py) — one device op per
-    attention / feed-forward instead of ~20. 'auto' enables them on TPU for
-    deterministic (inference) calls; the training path keeps the XLA
-    formulation for autodiff. Parameter trees are identical either way.
+    attention / feed-forward instead of ~20. Parameter trees are identical
+    either way. 'auto' resolves the ``DIFF_VITS_FUSED[_TRANSFORMER]`` env
+    vars and otherwise defaults ON for TPU: measured on v5e (30-step
+    UniPC, B=1, T=400) the fused transformer *alone* loses to XLA (15.9 ms
+    vs 14.5 ms) but combined with the fused resnet the denoise loop wins
+    (12.85 ms vs 14.0 ms), so the pair defaults on together.
     """
     dim: int
     num_heads: int
@@ -158,13 +141,13 @@ class BasicTransformerBlock(nn.Module):
             return False
         if self.num_heads * self.head_dim != self.dim:
             return False
-        if self.use_fused == "auto":
-            import os
-            env = os.environ.get("DIFF_VITS_FUSED")
-            if env is not None:
-                return env not in ("0", "false", "off")
-            return jax.default_backend() == "tpu"
-        return bool(self.use_fused)
+        import jax as _jax
+        from diff_vits_tpu.ops import fused_gate
+        # fused transformer alone loses to XLA (15.9 vs 14.5 ms), but
+        # combined with the fused resnet it wins (12.85 vs 14.0 ms) —
+        # measured on-chip, so both default on together on TPU
+        return fused_gate("DIFF_VITS_FUSED_TRANSFORMER", self.use_fused,
+                          default=_jax.default_backend() == "tpu")
 
     @nn.compact
     def __call__(self, x, context=None, attention_bias=None,
@@ -369,6 +352,11 @@ class ResnetBlock1D(nn.Module):
     Parity: resnet.py:461 with time_embedding_norm='scale_shift'
     (resnet.py:619-629): temb -> silu -> Dense(2*out); h*(1+scale)+shift
     after norm2.
+
+    ``use_fused``: route deterministic scale_shift calls through the
+    single-Pallas-program block in ops/fused_resnet.py ('auto' resolves
+    the ``DIFF_VITS_FUSED`` env var, default off; parameter trees are
+    identical either way; training keeps the XLA formulation).
     """
     in_channels: int
     out_channels: int
@@ -376,10 +364,45 @@ class ResnetBlock1D(nn.Module):
     eps: float = 1e-5
     dropout: float = 0.0
     time_embedding_norm: str = "scale_shift"
+    use_fused: object = "auto"
     dtype: jnp.dtype = jnp.float32
+
+    def _fused_enabled(self, deterministic: bool) -> bool:
+        if not deterministic or self.time_embedding_norm != "scale_shift":
+            return False
+        if self.in_channels % self.groups or self.out_channels % self.groups:
+            return False
+        import jax as _jax
+        from diff_vits_tpu.ops import fused_gate
+        # measured faster than XLA on TPU at production shapes
+        return fused_gate("DIFF_VITS_FUSED_RESNET", self.use_fused,
+                          default=_jax.default_backend() == "tpu")
 
     @nn.compact
     def __call__(self, x, temb, *, deterministic: bool = True):
+        if self._fused_enabled(deterministic):
+            from diff_vits_tpu.ops import fused_resnet as FR
+            cdt = self.dtype
+            g1s, g1b = _LayerNormParams(name="norm1")(self.in_channels)
+            w1, b1 = _ConvParams(self.out_channels,
+                                 name="conv1")(self.in_channels)
+            wt, bt = _DenseParams(2 * self.out_channels,
+                                  name="time_emb_proj")(temb.shape[-1])
+            g2s, g2b = _LayerNormParams(name="norm2")(self.out_channels)
+            w2, b2 = _ConvParams(self.out_channels,
+                                 name="conv2")(self.out_channels)
+            if self.in_channels != self.out_channels:
+                ws, bs = _DenseParams(self.out_channels,
+                                      name="conv_shortcut")(self.in_channels)
+            else:
+                ws = bs = None
+            film = jnp.dot(nn.silu(temb.astype(jnp.float32)),
+                           wt.astype(jnp.float32)) + bt
+            return FR.fused_resnet_block(
+                x, film, g1s, g1b, w1.astype(cdt), b1, g2s, g2b,
+                w2.astype(cdt), b2,
+                None if ws is None else ws.astype(cdt), bs,
+                groups=self.groups, eps=self.eps, compute_dtype=cdt)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
                          dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)

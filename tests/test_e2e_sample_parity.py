@@ -1,10 +1,16 @@
 """North-star correctness gate: full-chain sampling parity vs the reference.
 
 Transplants an entire reference ``NaturalSpeech2`` state_dict and compares
-``model3.sample`` (text -> VITS prior -> 30-step UniPC over the UNet -> mel)
+``model3.sample`` (text -> VITS prior -> solver over the UNet -> mel)
 against our ``synthesize`` with identical injected initial noise and zeroed
 prior noise (PRNG streams can't match across frameworks, so noise is an
-input — SURVEY.md §7.3.2, BASELINE.json fixed-seed mel allclose).
+input — SURVEY.md §7.3.2). Covers both BASELINE.json fixed-seed gates:
+30-step UniPC (the reference default, model3.py:1186) and 20-step
+DPM-Solver++ multistep order 2 ("mel allclose at 20-step DPM-Solver").
+The reference's own ``sample(sample_method='dpmsolver')`` branch is dead
+code (tuple-call of ``vits.infer`` + transposed shape math,
+model3.py:1139-1141), so the DPM case drives ``sampler.dpm_solver`` over
+the reference UNet exactly the way the working UniPC branch does.
 """
 import numpy as np
 import pytest
@@ -39,8 +45,9 @@ class _DummyVocos:
         return torch.zeros(mel.shape[0], 1, 8)
 
 
-@pytest.mark.slow
-def test_e2e_unipc_sample_parity(monkeypatch):
+@pytest.fixture(scope="module")
+def setup():
+    """One reference build + transplant shared by every sampler case."""
     import model3
     from text import symbols
 
@@ -64,12 +71,48 @@ def test_e2e_unipc_sample_parity(monkeypatch):
 
     rng = np.random.default_rng(2)
     b, t_x, s = 1, 10, 36
-    text = rng.integers(1, len(symbols), (b, t_x)).astype(np.int64)
-    tone = rng.integers(0, 6, (b, t_x)).astype(np.int64)
-    lang = np.zeros((b, t_x), np.int64)
-    refer = rng.normal(size=(b, s, 100)).astype(np.float32)
-    text_lengths = np.array([t_x], np.int64)
-    refer_lengths = np.array([s], np.int64)
+    data = dict(
+        text=rng.integers(1, len(symbols), (b, t_x)).astype(np.int64),
+        tone=rng.integers(0, 6, (b, t_x)).astype(np.int64),
+        lang=np.zeros((b, t_x), np.int64),
+        refer=rng.normal(size=(b, s, 100)).astype(np.float32),
+        text_lengths=np.array([t_x], np.int64),
+        refer_lengths=np.array([s], np.int64),
+    )
+
+    cfg = Config(
+        train=TrainConfig(timesteps=1000),
+        data=DataConfig(),
+        vits=VitsConfig(inter_channels=128, hidden_channels=256,
+                        filter_channels=64, n_heads=2, n_layers=3,
+                        kernel_size=3, p_dropout=0.0, gin_channels=32),
+        diffusion_encoder=DiffusionEncoderConfig(p_dropout=0.0),
+    )
+    model = DiffVits(cfg, n_vocab=len(symbols))
+    params = {"params": tp.diff_vits_params(
+        state, n_layers_enc=3, posterior_layers=16, gin=32)}
+    return ref, model, params, data
+
+
+def _run_ours(model, params, data, mel_ref, init_noise, method, steps):
+    t_ref = mel_ref.shape[1]
+    mel, out_lengths = synthesize(
+        model, params, jnp.asarray(data["text"].astype(np.int32)),
+        jnp.asarray(data["text_lengths"].astype(np.int32)),
+        jnp.asarray(data["refer"]),
+        jnp.asarray(data["refer_lengths"].astype(np.int32)),
+        jnp.asarray(data["tone"].astype(np.int32)),
+        jnp.asarray(data["lang"].astype(np.int32)),
+        key=jax.random.PRNGKey(0), sampling_steps=steps,
+        sample_method=method, noise_scale=0.0, max_len=t_ref,
+        init_noise=jnp.asarray(init_noise))
+    assert int(out_lengths[0]) == t_ref, (int(out_lengths[0]), t_ref)
+    np.testing.assert_allclose(np.asarray(mel), mel_ref, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_e2e_unipc_sample_parity(setup, monkeypatch):
+    ref, model, params, data = setup
 
     # zero the prior noise; capture + fix the initial diffusion noise
     monkeypatch.setattr(torch, "randn_like", lambda x: torch.zeros_like(x))
@@ -86,35 +129,48 @@ def test_e2e_unipc_sample_parity(monkeypatch):
 
     with torch.no_grad():
         _, mel_ref = ref.sample(
-            torch.tensor(text), torch.tensor(refer).transpose(1, 2),
-            torch.tensor(text_lengths), torch.tensor(refer_lengths),
-            torch.tensor(tone), torch.tensor(lang), _DummyVocos(),
-            sample_method="unipc")
+            torch.tensor(data["text"]),
+            torch.tensor(data["refer"]).transpose(1, 2),
+            torch.tensor(data["text_lengths"]),
+            torch.tensor(data["refer_lengths"]),
+            torch.tensor(data["tone"]), torch.tensor(data["lang"]),
+            _DummyVocos(), sample_method="unipc")
     mel_ref = mel_ref.numpy().transpose(0, 2, 1)  # [B, Ty, 100]
-    t_ref = mel_ref.shape[1]
-
-    cfg = Config(
-        train=TrainConfig(timesteps=1000),
-        data=DataConfig(),
-        vits=VitsConfig(inter_channels=128, hidden_channels=256,
-                        filter_channels=64, n_heads=2, n_layers=3,
-                        kernel_size=3, p_dropout=0.0, gin_channels=32),
-        diffusion_encoder=DiffusionEncoderConfig(p_dropout=0.0),
-    )
-    model = DiffVits(cfg, n_vocab=len(symbols))
-    params = {"params": tp.diff_vits_params(
-        state, n_layers_enc=3, posterior_layers=16, gin=32)}
 
     init_noise = captured["noise"].numpy().transpose(0, 2, 1)  # [B, Ty, 100]
-    assert init_noise.shape[1] == t_ref
+    assert init_noise.shape[1] == mel_ref.shape[1]
+    _run_ours(model, params, data, mel_ref, init_noise, "unipc", 30)
 
-    mel, out_lengths = synthesize(
-        model, params, jnp.asarray(text.astype(np.int32)),
-        jnp.asarray(text_lengths.astype(np.int32)), jnp.asarray(refer),
-        jnp.asarray(refer_lengths.astype(np.int32)),
-        jnp.asarray(tone.astype(np.int32)), jnp.asarray(lang.astype(np.int32)),
-        key=jax.random.PRNGKey(0), sampling_steps=30, sample_method="unipc",
-        noise_scale=0.0, max_len=t_ref, init_noise=jnp.asarray(init_noise))
 
-    assert int(out_lengths[0]) == t_ref, (int(out_lengths[0]), t_ref)
-    np.testing.assert_allclose(np.asarray(mel), mel_ref, atol=5e-3)
+@pytest.mark.slow
+def test_e2e_dpmsolver20_sample_parity(setup, monkeypatch):
+    """BASELINE.json: mel allclose at 20-step DPM-Solver, fixed seed."""
+    from sampler.dpm_solver import (NoiseScheduleVP as RefNS, model_wrapper,
+                                    DPM_Solver)
+    ref, model, params, data = setup
+
+    monkeypatch.setattr(torch, "randn_like", lambda x: torch.zeros_like(x))
+    with torch.no_grad():
+        content, refer_out = ref.vits.infer(
+            torch.tensor(data["text"]), torch.tensor(data["text_lengths"]),
+            torch.tensor(data["refer"]).transpose(1, 2),
+            torch.tensor(data["refer_lengths"]),
+            torch.tensor(data["tone"]), torch.tensor(data["lang"]))
+        noise = torch.randn(
+            (content.shape[0], ref.dim, content.shape[2]),
+            generator=torch.Generator().manual_seed(7))
+        model_fn = model_wrapper(
+            ref.sample_fun, RefNS(schedule="discrete", betas=ref.betas),
+            model_type="x_start",
+            model_kwargs={"data": (content, refer_out,
+                                   torch.tensor(data["text_lengths"]),
+                                   torch.tensor(data["refer_lengths"]))})
+        solver = DPM_Solver(model_fn, RefNS(schedule="discrete",
+                                            betas=ref.betas),
+                            algorithm_type="dpmsolver++")
+        mel_ref = solver.sample(noise, steps=20, order=2,
+                                skip_type="time_uniform",
+                                method="multistep")
+    mel_ref = mel_ref.numpy().transpose(0, 2, 1)  # [B, Ty, 100]
+    init_noise = noise.numpy().transpose(0, 2, 1)
+    _run_ours(model, params, data, mel_ref, init_noise, "dpmsolver", 20)
