@@ -76,7 +76,8 @@ class DiffVits(nn.Module):
     # -- training forward ---------------------------------------------------
 
     def __call__(self, text, text_lengths, spec, spec_lengths, refer,
-                 refer_lengths, tone, language, *, rng, mas_noise_scale=0.0,
+                 refer_lengths, tone, language, *, rng=None,
+                 mas_noise_scale=0.0, t=None, noise=None,
                  deterministic: bool = True):
         """Training forward. Parity: model3.py:1213-1255.
 
@@ -85,12 +86,21 @@ class DiffVits(nn.Module):
           spec: [B, Ty, 100] ground-truth log-mel.
           refer: [B, S, 100] prompt mel (caller picks refer1 or refer2).
           rng: PRNG key for posterior noise, MAS noise, t, diffusion noise.
+            May be None when both ``t`` and ``noise`` are injected — then
+            posterior/MAS noise is zero (deterministic-parity mode).
+          t: optional [B] int32 diffusion timesteps (injected override).
+          noise: optional [B, Ty, 100] q_sample noise (injected override).
         Returns:
           (loss, metrics dict)
         """
         gd = GaussianDiffusion.create(
             self.cfg.train.timesteps)
-        k_vits, k_t, k_noise = jax.random.split(rng, 3)
+        if rng is not None:
+            k_vits, k_t, k_noise = jax.random.split(rng, 3)
+        else:
+            if t is None or noise is None:
+                raise ValueError("rng=None requires injected t and noise")
+            k_vits = k_t = k_noise = None
 
         content, lengths, (l_length, loss_kl, loss_kl_ph) = self.vits(
             text, text_lengths, spec, spec_lengths, tone, language,
@@ -98,11 +108,14 @@ class DiffVits(nn.Module):
             deterministic=deterministic)
 
         b = spec.shape[0]
-        t = jax.random.randint(k_t, (b,), 0, gd.num_timesteps)
+        if t is None:
+            t = jax.random.randint(k_t, (b,), 0, gd.num_timesteps)
         x_mask = masking.sequence_mask(lengths, content.shape[1]).astype(
             spec.dtype)[..., None]
         x_start = spec * x_mask
-        noise = jax.random.normal(k_noise, x_start.shape, x_start.dtype) * x_mask
+        if noise is None:
+            noise = jax.random.normal(k_noise, x_start.shape, x_start.dtype)
+        noise = noise * x_mask
         x = gd.q_sample(x_start, t, noise)
 
         model_out = self.diff_model(x, t, content, refer, lengths,

@@ -174,3 +174,77 @@ def test_e2e_dpmsolver20_sample_parity(setup, monkeypatch):
     mel_ref = mel_ref.numpy().transpose(0, 2, 1)  # [B, Ty, 100]
     init_noise = noise.numpy().transpose(0, 2, 1)
     _run_ours(model, params, data, mel_ref, init_noise, "dpmsolver", 20)
+
+
+@pytest.mark.slow
+def test_e2e_training_loss_parity(setup, monkeypatch):
+    """Full NaturalSpeech2.forward loss parity (SURVEY §7.2 step 6).
+
+    Exercises the training-only chain the sampling goldens never touch:
+    posterior encode -> MAS (noise-annealed path disabled by zeroing) ->
+    duration MSE -> prior-expansion KL -> q_sample at an injected t with
+    injected noise -> SNR-weighted diffusion MSE -> 40*diff+dur+kl
+    (model3.py:1213-1255). Randomness is removed identically on both
+    sides: posterior/MAS eps = 0, fixed t, fixed q_sample noise, and
+    refer1 == refer2 so the reference's coin flip (model3.py:1231) is
+    moot. The reference forward requires use_noise_scaled_mas=True (with
+    it False, `current_mas_noise_scale` is read unbound -> NameError, a
+    reference defect) and the module-global `step`.
+    """
+    import model3
+    ref, model, params, data = setup
+
+    t_y = 40
+    rng = np.random.default_rng(11)
+    spec = rng.normal(size=(1, t_y, 100)).astype(np.float32)
+    spec_lengths = np.array([37], np.int64)
+    q_noise = rng.normal(size=(1, t_y, 100)).astype(np.float32)
+    t_fixed = 437
+
+    monkeypatch.setattr(model3, "step", 0, raising=False)
+    monkeypatch.setattr(ref.vits, "use_noise_scaled_mas", True)
+
+    def fake_randn_like(x):
+        if x.shape[1] == 100:  # q_sample noise on [B, 100, Ty]
+            return torch.tensor(q_noise.transpose(0, 2, 1))
+        return torch.zeros_like(x)  # posterior eps, MAS anneal noise
+
+    monkeypatch.setattr(torch, "randn_like", fake_randn_like)
+    monkeypatch.setattr(
+        torch, "randint",
+        lambda *a, **k: torch.full((1,), t_fixed, dtype=torch.long))
+
+    refer_t = torch.tensor(data["refer"]).transpose(1, 2)
+    batch = (
+        torch.tensor(data["text"]), torch.tensor(spec.transpose(0, 2, 1)),
+        refer_t, refer_t, torch.zeros(1),
+        torch.tensor(data["text_lengths"]),
+        torch.tensor(spec_lengths),
+        torch.tensor(data["refer_lengths"]),
+        torch.tensor(data["refer_lengths"]),
+        torch.tensor(data["tone"]), torch.tensor(data["lang"]))
+    with torch.no_grad():
+        (loss_ref, diff_ref, len_ref, kl_ref, _klph, out_ref,
+         _target) = ref(batch)
+
+    loss, (metrics, model_out, _tgt) = model.apply(
+        params, jnp.asarray(data["text"].astype(np.int32)),
+        jnp.asarray(data["text_lengths"].astype(np.int32)),
+        jnp.asarray(spec), jnp.asarray(spec_lengths.astype(np.int32)),
+        jnp.asarray(data["refer"]),
+        jnp.asarray(data["refer_lengths"].astype(np.int32)),
+        jnp.asarray(data["tone"].astype(np.int32)),
+        jnp.asarray(data["lang"].astype(np.int32)),
+        rng=None, t=jnp.full((1,), t_fixed, jnp.int32),
+        noise=jnp.asarray(q_noise))
+
+    np.testing.assert_allclose(np.asarray(model_out),
+                               out_ref.numpy().transpose(0, 2, 1),
+                               atol=5e-3)
+    for ours, theirs, name in [
+            (metrics["loss/diff"], diff_ref, "diff"),
+            (metrics["loss/len"], len_ref, "len"),
+            (metrics["loss/kl"], kl_ref, "kl"),
+            (loss, loss_ref, "all")]:
+        np.testing.assert_allclose(float(ours), float(theirs),
+                                   rtol=5e-3, atol=5e-4, err_msg=name)
