@@ -1,13 +1,19 @@
 """UniPC (unified predictor-corrector) sampler, compiled as one XLA program.
 
-Parity: ``UniPC`` variant='bh2', data-prediction, multistep, order 2,
-time_uniform — the reference's default inference path (model3.py:1183-1192:
-30 steps; sampler/uni_pc.py:471-588 bh update, :590-672 driver with
-lower_order_final and corrector disabled on the last step).
+Parity surface: the reference ``UniPC`` in data-prediction multistep form —
+variants 'bh1'/'bh2' (B(h)=h or e^h-1, uni_pc.py:509-514) at orders 1-3
+(order-k Vandermonde solves, :534-546) and the 'vary_coeff' variant
+(:368-469, C-matrix inverses incl. its corrector's A_c[K-2][-1] indexing
+quirk), the time grids (:474-500 via dpm_solver.get_time_steps), and the
+driver (:590-672: warmup at increasing order, lower_order_final tail,
+corrector disabled on the last step).
 
-Like the reference, the model value stored for the next step is the one
-evaluated at the *predictor* x_t (uni_pc.py:648-658); the corrector only
-revises x. One model evaluation per step.
+The reference default inference path is variant='bh2', order 2, 30 steps,
+time_uniform (model3.py:1183-1192); that path compiles to an unrolled head
++ homogeneous ``lax.scan`` interior + unrolled tail. Like the reference,
+the model value stored for the next step is the one evaluated at the
+*predictor* x_t (uni_pc.py:648-658); the corrector only revises x. One
+model evaluation per step.
 """
 from __future__ import annotations
 
@@ -15,9 +21,9 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from diff_vits_tpu.diffusion.dpm_solver import adapt_x0_fn, time_steps_uniform
+from diff_vits_tpu.diffusion.dpm_solver import (
+    adapt_x0_fn, get_time_steps, time_steps_uniform)
 from diff_vits_tpu.diffusion.noise_schedule import NoiseScheduleVP
 
 
@@ -28,15 +34,22 @@ def sample_unipc(
     steps: int = 30,
     order: int = 2,
     variant: str = "bh2",
+    skip_type: str = "time_uniform",
+    lower_order_final: bool = True,
 ) -> jnp.ndarray:
     """UniPC multistep sampling (data prediction) from x ~ N(0, I).
 
     Args:
       x0_fn: ``(x, t_discrete[B]) -> x0`` prediction.
+      order: 1, 2 or 3.
+      variant: 'bh1' | 'bh2' | 'vary_coeff'.
     """
-    assert order in (1, 2), "UniPC orders 1/2 supported (reference uses 2)"
+    assert 1 <= order <= 3, "UniPC orders 1-3 supported"
+    assert steps >= order
+    if variant not in ("bh1", "bh2", "vary_coeff"):
+        raise ValueError(f"unsupported variant {variant!r}")
     ns = noise_schedule
-    ts = time_steps_uniform(ns, steps)
+    ts = get_time_steps(ns, skip_type, ns.T, 1.0 / ns.total_N, steps)
     lam = ns.marginal_lambda(ts)
     sig = ns.marginal_std(ts)
     alp = jnp.exp(ns.marginal_log_mean_coeff(ts))
@@ -48,81 +61,141 @@ def sample_unipc(
         td = jnp.full((b,), ts[i] * ns.total_N - 1.0, jnp.float32)
         return fn(x, td, i)
 
-    def bh_coeffs(h, rk):
-        """R, b for order 2 (uni_pc.py:509-545). hh = -h (predict_x0)."""
-        hh = -h
+    def step_bh(x, ms, i, k, use_corrector):
+        """Arrival at ts[i+1] at order ``k`` using models ``ms`` (newest
+        first) at ts[i], ts[i-1], ... Parity: uni_pc.py:471-588."""
+        m0 = ms[0]
+        h = lam[i + 1] - lam[i]
+        hh = -h  # predict_x0
         h_phi_1 = jnp.expm1(hh)
         B_h = hh if variant == "bh1" else jnp.expm1(hh)
-        # i = 1: b1 = (h_phi_1/hh - 1) * 1 / B_h
-        h_phi_k1 = h_phi_1 / hh - 1.0
-        b1 = h_phi_k1 / B_h
-        # i = 2: factorial_i = 2, h_phi_k = h_phi_k1/hh - 1/2
-        h_phi_k2 = h_phi_k1 / hh - 0.5
-        b2 = h_phi_k2 * 2.0 / B_h
-        return h_phi_1, B_h, b1, b2
 
-    def step_order1(x, m0, i, use_corrector):
-        """Arrival at ts[i+1], order 1 (no D1s). uni_pc.py:471-585."""
+        rks = [(lam[i - j] - lam[i]) / h for j in range(1, k)] + [
+            jnp.float32(1.0)]
+        rks = jnp.stack(rks)
+        D1s = [(ms[j] - m0) / rks[j - 1] for j in range(1, k)]
+
+        # R rows r^(i-1), b_i = h_phi_k * i! / B_h (uni_pc.py:516-524)
+        rows, bs = [], []
+        h_phi_k = h_phi_1 / hh - 1.0
+        factorial_i = 1
+        for j in range(1, k + 1):
+            rows.append(rks ** (j - 1))
+            bs.append(h_phi_k * factorial_i / B_h)
+            factorial_i *= j + 1
+            h_phi_k = h_phi_k / hh - 1.0 / factorial_i
+        R = jnp.stack(rows)
+        bvec = jnp.stack(bs)
+
+        x_t_ = sig[i + 1] / sig[i] * x - alp[i + 1] * h_phi_1 * m0
+        if k >= 2:
+            if k == 2:  # simplified (uni_pc.py:530-532)
+                rhos_p = jnp.asarray([0.5], jnp.float32)
+            else:
+                rhos_p = jnp.linalg.solve(R[:-1, :-1], bvec[:-1])
+            pred_res = sum(rhos_p[j] * D1s[j] for j in range(k - 1))
+            x_t = x_t_ - alp[i + 1] * B_h * pred_res
+        else:
+            x_t = x_t_
+        model_t = None
+        if use_corrector:
+            if k == 1:  # simplified (uni_pc.py:540-543)
+                rhos_c = jnp.asarray([0.5], jnp.float32)
+            else:
+                rhos_c = jnp.linalg.solve(R, bvec)
+            model_t = eval_model(x_t, i + 1)
+            D1_t = model_t - m0
+            corr_res = sum(rhos_c[j] * D1s[j] for j in range(k - 1))
+            x_t = x_t_ - alp[i + 1] * B_h * (corr_res + rhos_c[k - 1] * D1_t)
+        return x_t, model_t
+
+    def step_vary(x, ms, i, k, use_corrector):
+        """vary_coeff arrival at ts[i+1] at order ``k``
+        (uni_pc.py:368-469)."""
+        m0 = ms[0]
         h = lam[i + 1] - lam[i]
-        h_phi_1, B_h, b1, b2 = bh_coeffs(h, None)
+        hh = -h
+        h_phi_1 = jnp.expm1(hh)
+
+        rks = [(lam[i - j] - lam[i]) / h for j in range(1, k)] + [
+            jnp.float32(1.0)]
+        rks = jnp.stack(rks)
+        D1s = [(ms[j] - m0) / rks[j - 1] for j in range(1, k)]
+
+        # C[:, j] = rks^j / (j+1)!  (uni_pc.py:398-405)
+        cols, col = [], jnp.ones_like(rks)
+        for j in range(1, k + 1):
+            cols.append(col)
+            col = col * rks / (j + 1)
+        C = jnp.stack(cols, axis=1)
+
+        # h_phi_ks[j]: [h_phi_1, h_phi_1/hh - 1, .../hh - 1/2!, ...]
+        h_phi_ks, h_phi_k, factorial_j = [], h_phi_1, 1
+        for j in range(1, k + 2):
+            h_phi_ks.append(h_phi_k)
+            h_phi_k = h_phi_k / hh - 1.0 / factorial_j
+            factorial_j *= j + 1
+
         x_t_ = sig[i + 1] / sig[i] * x - alp[i + 1] * h_phi_1 * m0
         x_t = x_t_
+        if k >= 2:
+            A_p = jnp.linalg.inv(C[:-1, :-1])
+            for j in range(k - 1):
+                res = sum(A_p[j, l] * D1s[l] for l in range(k - 1))
+                x_t = x_t - alp[i + 1] * h_phi_ks[j + 1] * res
         model_t = None
         if use_corrector:
-            model_t = eval_model(x_t, i + 1)
-            # order 1 corrector uses rhos_c = [0.5] (uni_pc.py:546-549)
-            D1_t = model_t - m0
-            x_t = x_t_ - alp[i + 1] * B_h * (0.5 * D1_t)
-        return x_t, model_t
-
-    def step_order2(x, m0, m1, i, use_corrector):
-        """Arrival at ts[i+1], order 2 using models at ts[i], ts[i-1]."""
-        h = lam[i + 1] - lam[i]
-        rk = (lam[i - 1] - lam[i]) / h
-        D1s = (m1 - m0) / rk  # [B, ...]
-        h_phi_1, B_h, b1, b2 = bh_coeffs(h, rk)
-        x_t_ = sig[i + 1] / sig[i] * x - alp[i + 1] * h_phi_1 * m0
-        # predictor: rhos_p = [0.5] (uni_pc.py:539-543 simplified order 2)
-        x_t = x_t_ - alp[i + 1] * B_h * (0.5 * D1s)
-        model_t = None
-        if use_corrector:
-            # rhos_c = solve([[1, 1], [rk, 1]], [b1, b2])
-            #   rk*r1 + r2 = b2 ; r1 + r2 = b1  =>  r1 = (b2-b1)/(rk-1)
-            r1 = (b2 - b1) / (rk - 1.0)
-            r2 = b1 - r1
+            A_c = jnp.linalg.inv(C)
             model_t = eval_model(x_t, i + 1)
             D1_t = model_t - m0
-            x_t = x_t_ - alp[i + 1] * B_h * (r1 * D1s + r2 * D1_t)
+            x_t = x_t_
+            for j in range(k - 1):
+                res = sum(A_c[j, l] * D1s[l] for l in range(k - 1))
+                x_t = x_t - alp[i + 1] * h_phi_ks[j + 1] * res
+            # the reference indexes A_c by the *last loop value* of its
+            # k-variable — A_c[max(K-2, 0)][-1] — not A_c[-1][-1]
+            # (uni_pc.py:444-449); replicated verbatim
+            jlast = max(k - 2, 0)
+            x_t = x_t - alp[i + 1] * h_phi_ks[k] * (A_c[jlast, -1] * D1_t)
         return x_t, model_t
 
-    # step 0: model at initial x
-    m1 = eval_model(x, 0)
+    step = step_vary if variant == "vary_coeff" else step_bh
 
-    if order == 1 or steps == 1:
-        m0 = m1
-        for i in range(steps):
-            use_c = i < steps - 1
-            x, model_t = step_order1(x, m0, i, use_c)
-            if use_c:
-                m0 = model_t
-        return x
+    # step 0: model at initial x; warmup arrivals ts[1..order-1] at
+    # increasing order with corrector (uni_pc.py:621-632)
+    ms = [eval_model(x, 0)]
+    for w in range(1, order):
+        x, model_t = step(x, ms, w - 1, w, True)
+        ms = [model_t] + ms
 
-    # init: arrival at ts[1] with order 1 + corrector (uni_pc.py:621-632)
-    x, m0 = step_order1(x, m1, 0, True)
+    # arrivals ts[order..steps]; scan the homogeneous full-order interior,
+    # unroll the (<= 2) lowered-order tail arrivals
+    def order_at(s):
+        return min(order, steps + 1 - s) if lower_order_final else order
 
-    if steps == 2:
-        x, _ = step_order2(x, m0, m1, 1, False)
-        return x
+    first_tail = steps + 1
+    if lower_order_final:
+        while first_tail - 1 >= order and order_at(first_tail - 1) < order:
+            first_tail -= 1
+    n_scan = max(first_tail - order, 0) - (0 if first_tail <= steps else 1)
+    # arrivals ts[order..order+n_scan-1] run at full order with corrector
+    # inside the scan; everything after is unrolled
 
-    # interior arrivals ts[2..steps-1]: order 2 + corrector, one model eval
-    def body(carry, i):
-        x, m0, m1 = carry
-        x, model_t = step_order2(x, m0, m1, i - 1, True)
-        return (x, model_t, m0), None
+    if n_scan > 0:
+        def body(carry, i):
+            x, *ms = carry
+            x, model_t = step(x, list(ms), i - 1, order, True)
+            return (x, model_t, *ms[:-1]), None
 
-    (x, m0, m1), _ = jax.lax.scan(
-        body, (x, m0, m1), jnp.arange(2, steps, dtype=jnp.int32))
+        (x, *ms), _ = jax.lax.scan(
+            body, (x, *ms),
+            jnp.arange(order, order + n_scan, dtype=jnp.int32))
+        ms = list(ms)
 
-    # final arrival at ts[steps]: lower_order_final => order 1, no corrector
-    x, _ = step_order1(x, m0, steps - 1, False)
+    for s in range(order + n_scan, steps + 1):
+        k = order_at(s)
+        use_c = s < steps
+        x, model_t = step(x, ms, s - 1, k, use_c)
+        if use_c:
+            ms = [model_t] + ms[:-1]
     return x

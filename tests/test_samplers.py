@@ -141,3 +141,208 @@ def test_ddim_oracle():
         img_j = x_start * jnp.sqrt(alpha_next) + c * pred_noise
 
     np.testing.assert_allclose(np.asarray(img_j), img, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Extended DPM-Solver++ surface (SURVEY §2.6: singlestep, order 3, time
+# grids, taylor flavor, dynamic thresholding, model_wrapper types)
+# ---------------------------------------------------------------------------
+
+def _ref_solver(correcting_x0_fn=None, model_type="x_start",
+                torch_model=None, **wrap_kwargs):
+    from sampler.dpm_solver import (NoiseScheduleVP as RefNS, model_wrapper,
+                                    DPM_Solver)
+    ref_ns = RefNS(schedule="discrete", betas=torch.tensor(_betas()))
+    model_fn = model_wrapper(torch_model or _toy_x0_torch, ref_ns,
+                             model_type=model_type, **wrap_kwargs)
+    return DPM_Solver(model_fn, ref_ns, algorithm_type="dpmsolver++",
+                      correcting_x0_fn=correcting_x0_fn)
+
+
+@pytest.mark.parametrize("steps,lof", [(12, True), (6, True), (5, False)])
+def test_dpmpp_order3_multistep_parity(steps, lof):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 8, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = _ref_solver().sample(
+            torch.tensor(x), steps=steps, order=3, skip_type="time_uniform",
+            method="multistep", lower_order_final=lof).numpy()
+    ours = sample_dpmpp(_toy_x0_jax, NoiseScheduleVP(_betas()),
+                        jnp.asarray(x), steps=steps, order=3,
+                        lower_order_final=lof)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-4)
+
+
+@pytest.mark.parametrize("method,steps,order", [
+    ("singlestep", 9, 3), ("singlestep", 10, 3), ("singlestep", 7, 2),
+    ("singlestep_fixed", 8, 2), ("singlestep_fixed", 9, 3)])
+def test_dpmpp_singlestep_parity(method, steps, order):
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(1, 8, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = _ref_solver().sample(
+            torch.tensor(x), steps=steps, order=order,
+            skip_type="time_uniform", method=method).numpy()
+    ours = sample_dpmpp(_toy_x0_jax, NoiseScheduleVP(_betas()),
+                        jnp.asarray(x), steps=steps, order=order,
+                        method=method)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-4)
+
+
+@pytest.mark.parametrize("skip_type", ["logSNR", "time_quadratic"])
+def test_dpmpp_time_grid_parity(skip_type):
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 4, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = _ref_solver().sample(
+            torch.tensor(x), steps=12, order=2, skip_type=skip_type,
+            method="multistep").numpy()
+    ours = sample_dpmpp(_toy_x0_jax, NoiseScheduleVP(_betas()),
+                        jnp.asarray(x), steps=12, order=2,
+                        skip_type=skip_type)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-4)
+
+
+@pytest.mark.parametrize("order,method", [(2, "multistep"), (3, "multistep"),
+                                          (3, "singlestep")])
+def test_dpmpp_taylor_flavor_parity(order, method):
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(1, 4, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = _ref_solver().sample(
+            torch.tensor(x), steps=12, order=order,
+            skip_type="time_uniform", method=method,
+            solver_type="taylor").numpy()
+    ours = sample_dpmpp(_toy_x0_jax, NoiseScheduleVP(_betas()),
+                        jnp.asarray(x), steps=12, order=order, method=method,
+                        solver_type="taylor")
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-4)
+
+
+def test_dpmpp_dynamic_thresholding_and_denoise_parity():
+    rng = np.random.default_rng(7)
+    x = 3.0 * rng.normal(size=(2, 4, 8)).astype(np.float32)
+
+    def big_x0_torch(xx, tt, **kw):
+        return _toy_x0_torch(xx, tt) * 4.0  # exceeds [-1, 1] -> clamps
+
+    def big_x0_jax(xx, tt):
+        return _toy_x0_jax(xx, tt) * 4.0
+
+    with torch.no_grad():
+        ref_out = _ref_solver(correcting_x0_fn="dynamic_thresholding",
+                              torch_model=big_x0_torch).sample(
+            torch.tensor(x), steps=8, order=2, skip_type="time_uniform",
+            method="multistep", denoise_to_zero=True).numpy()
+    ours = sample_dpmpp(big_x0_jax, NoiseScheduleVP(_betas()),
+                        jnp.asarray(x), steps=8, order=2,
+                        correcting_x0_fn="dynamic_thresholding",
+                        denoise_to_zero=True)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-4)
+
+
+@pytest.mark.parametrize("model_type", ["noise", "v", "score"])
+def test_wrap_model_types_parity(model_type):
+    """Each parameterization drives the same solve on both sides."""
+    from diff_vits_tpu.diffusion.dpm_solver import wrap_model
+
+    def toy_torch(xx, tt, **kw):
+        t = tt.reshape(-1, *([1] * (xx.dim() - 1))).to(xx.dtype)
+        return torch.tanh(xx * (1 + t / 1000.0)) * 0.3
+
+    def toy_jax(xx, tt):
+        t = tt.reshape(-1, *([1] * (xx.ndim - 1))).astype(xx.dtype)
+        return jnp.tanh(xx * (1 + t / 1000.0)) * 0.3
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(1, 4, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = _ref_solver(model_type=model_type,
+                              torch_model=toy_torch).sample(
+            torch.tensor(x), steps=10, order=2, skip_type="time_uniform",
+            method="multistep").numpy()
+    ns = NoiseScheduleVP(_betas())
+    x0_fn = wrap_model(toy_jax, ns, model_type=model_type)
+    ours = sample_dpmpp(x0_fn, ns, jnp.asarray(x), steps=10, order=2)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
+
+
+def test_wrap_model_classifier_free_guidance_parity():
+    from diff_vits_tpu.diffusion.dpm_solver import wrap_model
+
+    def toy_cond_torch(xx, tt, cond, **kw):
+        t = tt.reshape(-1, *([1] * (xx.dim() - 1))).to(xx.dtype)
+        return torch.tanh(xx * (1 + t / 1000.0)) * 0.3 + 0.1 * cond
+
+    def toy_cond_jax(xx, tt, cond):
+        t = tt.reshape(-1, *([1] * (xx.ndim - 1))).astype(xx.dtype)
+        return jnp.tanh(xx * (1 + t / 1000.0)) * 0.3 + 0.1 * cond
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(1, 4, 8)).astype(np.float32)
+    cond = np.ones((1, 4, 8), np.float32)
+    uncond = np.zeros((1, 4, 8), np.float32)
+    with torch.no_grad():
+        ref_out = _ref_solver(
+            model_type="noise", torch_model=toy_cond_torch,
+            guidance_type="classifier-free",
+            condition=torch.tensor(cond),
+            unconditional_condition=torch.tensor(uncond),
+            guidance_scale=2.0).sample(
+            torch.tensor(x), steps=10, order=2, skip_type="time_uniform",
+            method="multistep").numpy()
+    ns = NoiseScheduleVP(_betas())
+    x0_fn = wrap_model(toy_cond_jax, ns, model_type="noise",
+                       guidance_type="classifier-free",
+                       condition=jnp.asarray(cond),
+                       unconditional_condition=jnp.asarray(uncond),
+                       guidance_scale=2.0)
+    ours = sample_dpmpp(x0_fn, ns, jnp.asarray(x), steps=10, order=2)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Extended UniPC surface: orders 1-3, bh1/vary_coeff variants, grids
+# ---------------------------------------------------------------------------
+
+def _ref_unipc(x, steps, order, variant, skip_type="time_uniform",
+               lower_order_final=True):
+    from sampler.uni_pc import NoiseScheduleVP as RefNS, model_wrapper, UniPC
+    ref_ns = RefNS(schedule="discrete", betas=torch.tensor(_betas()))
+    model_fn = model_wrapper(_toy_x0_torch, ref_ns, model_type="x_start")
+    uni_pc = UniPC(model_fn, ref_ns, variant=variant)
+    with torch.no_grad():
+        return uni_pc.sample(torch.tensor(x), steps=steps, order=order,
+                             skip_type=skip_type, method="multistep",
+                             lower_order_final=lower_order_final).numpy()
+
+
+@pytest.mark.parametrize("steps,order,variant,skip_type,lof", [
+    (12, 3, "bh2", "time_uniform", True),
+    (9, 3, "bh1", "time_uniform", True),
+    (10, 3, "bh2", "logSNR", True),
+    (10, 2, "bh2", "time_uniform", False),
+    (2, 2, "bh2", "time_uniform", True),   # tail drops to order 1
+    (3, 3, "bh2", "time_uniform", True),
+    (8, 1, "bh1", "time_uniform", True),
+])
+def test_unipc_extended_parity(steps, order, variant, skip_type, lof):
+    rng = np.random.default_rng(10)
+    x = rng.normal(size=(1, 8, 16)).astype(np.float32)
+    ref_out = _ref_unipc(x, steps, order, variant, skip_type, lof)
+    ours = sample_unipc(_toy_x0_jax, NoiseScheduleVP(_betas()),
+                        jnp.asarray(x), steps=steps, order=order,
+                        variant=variant, skip_type=skip_type,
+                        lower_order_final=lof)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
+
+
+@pytest.mark.parametrize("steps,order", [(12, 2), (12, 3), (5, 3)])
+def test_unipc_vary_coeff_parity(steps, order):
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(1, 8, 16)).astype(np.float32)
+    ref_out = _ref_unipc(x, steps, order, "vary_coeff")
+    ours = sample_unipc(_toy_x0_jax, NoiseScheduleVP(_betas()),
+                        jnp.asarray(x), steps=steps, order=order,
+                        variant="vary_coeff")
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
