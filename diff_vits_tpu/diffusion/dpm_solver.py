@@ -1,25 +1,28 @@
-"""DPM-Solver++ sampler library, compiled as XLA programs.
+"""DPM-Solver / DPM-Solver++ sampler library, compiled as XLA programs.
 
-Parity surface: the reference ``DPM_Solver`` with
-algorithm_type='dpmsolver++' (data prediction) — multistep orders 1-3
-(sampler/dpm_solver.py:583-905), singlestep / singlestep_fixed orders 1-3
-(:596-795, :905-955 update dispatch, :482-541 order scheduling), the three
-time grids logSNR / time_uniform / time_quadratic (:453-480), the
-'dpmsolver' and 'taylor' high-order flavors, dynamic thresholding
-(:400-427), denoise_to_zero (:543-548), and the model_wrapper
-noise/x_start/v/score + guidance conversions (:170-334, as
+Parity surface: the reference ``DPM_Solver`` — both algorithm types
+('dpmsolver++' data prediction and 'dpmsolver' noise prediction,
+sampler/dpm_solver.py:336-399), multistep orders 1-3 (:583-905),
+singlestep / singlestep_fixed orders 1-3 (:596-795, :905-955 dispatch,
+:482-541 order scheduling), the adaptive step-size solver (:956-1010),
+``inverse`` (:1032-1045), the three time grids logSNR / time_uniform /
+time_quadratic (:453-480), 'dpmsolver' and 'taylor' high-order flavors,
+dynamic thresholding (:400-427), denoise_to_zero (:543-548), and the
+model_wrapper noise/x_start/v/score + guidance conversions (:170-334, as
 ``wrap_model``).
 
 The production configuration (model3.py:1149-1159: 40 steps, order 2,
-multistep, time_uniform) compiles to an unrolled head + homogeneous
-``lax.scan`` interior + unrolled tail: static shapes, one program,
-~steps model evaluations. Singlestep methods have heterogeneous per-step
-order, so they unroll — fine for their capability/parity role; the hot
-path stays the scan.
+multistep, time_uniform, dpmsolver++) compiles to an unrolled head +
+homogeneous ``lax.scan`` interior + unrolled tail: static shapes, one
+program, ~steps model evaluations. Singlestep methods have heterogeneous
+per-step order, so they unroll; the adaptive method is a
+``lax.while_loop``. The hot path stays the scan.
 
 The model callback is an x0 predictor called with the reference's discrete
 time mapping t_discrete = t * N - 1 (dpm_solver.py:251-255 via
-model_wrapper's get_model_input_time).
+model_wrapper's get_model_input_time); for algorithm_type='dpmsolver' it
+is converted to a noise predictor internally (the reference's
+noise_prediction_fn route).
 """
 from __future__ import annotations
 
@@ -35,7 +38,7 @@ from diff_vits_tpu.diffusion.noise_schedule import NoiseScheduleVP
 
 def get_time_steps(ns: NoiseScheduleVP, skip_type: str, t_T: float,
                    t_0: float, N: int) -> jnp.ndarray:
-    """Sampling grid of N+1 times from t_T down to t_0 (dpm_solver.py:453)."""
+    """Sampling grid of N+1 times from t_T to t_0 (dpm_solver.py:453)."""
     if skip_type == "time_uniform":
         return jnp.asarray(np.linspace(t_T, t_0, N + 1), jnp.float32)
     if skip_type == "logSNR":
@@ -85,7 +88,7 @@ def wrap_model(model: Callable, noise_schedule: NoiseScheduleVP,
                guidance_scale: float = 1.0,
                classifier_fn: Optional[Callable] = None) -> Callable:
     """Convert a noise/x_start/v/score model (+ optional guidance) into the
-    x0-prediction callback our data-prediction solvers consume.
+    x0-prediction callback our solvers consume.
 
     Parity: sampler/dpm_solver.py:170-334 (model_wrapper) composed with
     data_prediction_fn (:434-443). The wrapped model is called as
@@ -175,31 +178,49 @@ def sample_dpmpp(
     skip_type: str = "time_uniform",
     method: str = "multistep",
     solver_type: str = "dpmsolver",
+    algorithm_type: str = "dpmsolver++",
+    t_start: Optional[float] = None,
+    t_end: Optional[float] = None,
     correcting_x0_fn: Optional[object] = None,
     thresholding_ratio: float = 0.995,
     thresholding_max_val: float = 1.0,
     denoise_to_zero: bool = False,
+    atol: float = 0.0078,
+    rtol: float = 0.05,
+    h_init: float = 0.05,
+    theta: float = 0.9,
+    t_err: float = 1e-5,
 ) -> jnp.ndarray:
-    """DPM-Solver++ from x ~ N(0, I) at t = T.
+    """DPM-Solver / DPM-Solver++ from x at t_start (default T).
 
     Args:
       x0_fn: ``(x, t_discrete[B]) -> x0`` prediction (the diffusion model).
-      steps: number of model evaluations.
-      order: 1, 2 or 3.
+      steps: number of model evaluations (ignored by method='adaptive').
+      order: 1, 2 or 3 (adaptive: 2 or 3).
       skip_type: 'time_uniform' | 'logSNR' | 'time_quadratic'.
-      method: 'multistep' | 'singlestep' | 'singlestep_fixed'.
+      method: 'multistep' | 'singlestep' | 'singlestep_fixed' | 'adaptive'.
       solver_type: 'dpmsolver' | 'taylor' — the order>=2 update flavor.
+      algorithm_type: 'dpmsolver++' (data prediction) | 'dpmsolver'
+        (noise prediction; the x0 callback is converted internally).
+      t_start/t_end: solve interval (defaults T -> 1/N; swap for inversion).
       correcting_x0_fn: None, 'dynamic_thresholding', or a callable
-        ``x0 -> x0`` applied to every prediction.
-      denoise_to_zero: one extra x0 evaluation at t_0 after the last step
-        (dpm_solver.py:543-548,1243-1249).
+        ``x0 -> x0`` applied to every x0 prediction (dpmsolver++ only,
+        like the reference).
+      denoise_to_zero: one extra x0 evaluation at t_end after the last
+        step (dpm_solver.py:543-548,1243-1249).
+      atol/rtol/h_init/theta/t_err: adaptive-solver controls (:956).
     """
     ns = noise_schedule
-    t_0, t_T = 1.0 / ns.total_N, ns.T
+    t_0 = 1.0 / ns.total_N if t_end is None else t_end
+    t_T = ns.T if t_start is None else t_start
     b = x.shape[0]
     base_fn = adapt_x0_fn(x0_fn)
     if solver_type not in ("dpmsolver", "taylor"):
         raise ValueError("solver_type must be 'dpmsolver' or 'taylor'")
+    if algorithm_type not in ("dpmsolver++", "dpmsolver"):
+        raise ValueError(
+            "algorithm_type must be 'dpmsolver++' or 'dpmsolver'")
+    pp = algorithm_type == "dpmsolver++"
 
     if correcting_x0_fn == "dynamic_thresholding":
         def correct(x0):
@@ -210,17 +231,29 @@ def sample_dpmpp(
     else:
         correct = correcting_x0_fn
 
-    def fn(xv, td, i):
+    def x0_pred(xv, td, i):
         out = base_fn(xv, td, i)
         return correct(out) if correct is not None else out
 
+    if pp:
+        fn = x0_pred
+    else:
+        # noise_prediction_fn route (:429-432): no x0 correction
+        def fn(xv, td, i):
+            x0 = base_fn(xv, td, i)
+            t_cont = (td + 1.0) / ns.total_N
+            shape = (-1,) + (1,) * (xv.ndim - 1)
+            alpha = ns.marginal_alpha(t_cont).reshape(shape)
+            sigma = ns.marginal_std(t_cont).reshape(shape)
+            return (xv - alpha * x0) / sigma
+
     def eval_at(xv, t_cont, i):
         td = jnp.full((b,), t_cont * ns.total_N - 1.0, jnp.float32)
-        return fn(xv, td, i)
+        return x0_pred(xv, td, i)
 
     if method == "multistep":
         x = _sample_multistep(fn, ns, x, steps, order, lower_order_final,
-                              skip_type, solver_type)
+                              skip_type, solver_type, pp, t_T, t_0)
         last_i = steps
     elif method in ("singlestep", "singlestep_fixed"):
         if method == "singlestep_fixed":
@@ -235,8 +268,12 @@ def sample_dpmpp(
                 full = get_time_steps(ns, skip_type, t_T, t_0, steps)
                 ts_outer = full[np.cumsum([0] + orders)]
         x = _sample_singlestep(fn, ns, x, ts_outer, orders, solver_type,
-                               skip_type)
+                               skip_type, pp)
         last_i = len(orders)
+    elif method == "adaptive":
+        x = _sample_adaptive(fn, ns, x, order, t_T, t_0, h_init, atol,
+                             rtol, theta, t_err, solver_type, pp)
+        last_i = 0
     else:
         raise ValueError(f"unsupported method {method!r}")
 
@@ -245,17 +282,19 @@ def sample_dpmpp(
     return x
 
 
-def _phis(h):
-    """phi_1..phi_3 for the dpmsolver++ (data-prediction) expansion."""
-    phi_1 = jnp.expm1(-h)
-    phi_2 = phi_1 / h + 1.0
-    phi_3 = phi_2 / h - 0.5
-    return phi_1, phi_2, phi_3
+def inverse_dpmpp(x0_fn, noise_schedule, x, steps: int = 20, **kwargs):
+    """Invert a sample from t=1/N towards t=T (dpm_solver.py:1032-1045):
+    ``sample`` with the solve interval reversed."""
+    ns = noise_schedule
+    t_0 = kwargs.pop("t_start", 1.0 / ns.total_N)
+    t_T = kwargs.pop("t_end", ns.T)
+    return sample_dpmpp(x0_fn, noise_schedule, x, steps=steps,
+                        t_start=t_0, t_end=t_T, **kwargs)
 
 
 def _sample_multistep(fn, ns, x, steps, order, lower_order_final, skip_type,
-                      solver_type):
-    ts = get_time_steps(ns, skip_type, ns.T, 1.0 / ns.total_N, steps)
+                      solver_type, pp, t_T, t_0):
+    ts = get_time_steps(ns, skip_type, t_T, t_0, steps)
     lam = ns.marginal_lambda(ts)
     sig = ns.marginal_std(ts)
     alp = jnp.exp(ns.marginal_log_mean_coeff(ts))
@@ -266,10 +305,12 @@ def _sample_multistep(fn, ns, x, steps, order, lower_order_final, skip_type,
         return fn(x, td, i)
 
     def update1(x, m0, i):
-        """First-order arrival at ts[i+1] (dpm_solver.py:583-600)."""
+        """First-order arrival at ts[i+1] (dpm_solver.py:562-600)."""
         h = lam[i + 1] - lam[i]
-        phi_1 = jnp.expm1(-h)
-        return sig[i + 1] / sig[i] * x - alp[i + 1] * phi_1 * m0
+        if pp:
+            return (sig[i + 1] / sig[i] * x
+                    - alp[i + 1] * jnp.expm1(-h) * m0)
+        return alp[i + 1] / alp[i] * x - sig[i + 1] * jnp.expm1(h) * m0
 
     def update2(x, m0, m1, i):
         """Second-order multistep arrival at ts[i+1] using models at ts[i]
@@ -277,11 +318,17 @@ def _sample_multistep(fn, ns, x, steps, order, lower_order_final, skip_type,
         h = lam[i + 1] - lam[i]
         r0 = (lam[i] - lam[i - 1]) / h
         D1_0 = (m0 - m1) / r0
-        phi_1 = jnp.expm1(-h)
-        base = sig[i + 1] / sig[i] * x - alp[i + 1] * phi_1 * m0
+        if pp:
+            phi_1 = jnp.expm1(-h)
+            base = sig[i + 1] / sig[i] * x - alp[i + 1] * phi_1 * m0
+            if solver_type == "dpmsolver":
+                return base - 0.5 * alp[i + 1] * phi_1 * D1_0
+            return base + alp[i + 1] * (phi_1 / h + 1.0) * D1_0
+        phi_1 = jnp.expm1(h)
+        base = alp[i + 1] / alp[i] * x - sig[i + 1] * phi_1 * m0
         if solver_type == "dpmsolver":
-            return base - 0.5 * alp[i + 1] * phi_1 * D1_0
-        return base + alp[i + 1] * (phi_1 / h + 1.0) * D1_0
+            return base - 0.5 * sig[i + 1] * phi_1 * D1_0
+        return base - sig[i + 1] * (phi_1 / h - 1.0) * D1_0
 
     def update3(x, m0, m1, m2, i):
         """Third-order multistep arrival at ts[i+1] using models at ts[i],
@@ -294,11 +341,21 @@ def _sample_multistep(fn, ns, x, steps, order, lower_order_final, skip_type,
         D1_1 = (m1 - m2) / r1
         D1 = D1_0 + (r0 / (r0 + r1)) * (D1_0 - D1_1)
         D2 = (D1_0 - D1_1) / (r0 + r1)
-        phi_1, phi_2, phi_3 = _phis(h)
-        return (sig[i + 1] / sig[i] * x
-                - alp[i + 1] * phi_1 * m0
-                + alp[i + 1] * phi_2 * D1
-                - alp[i + 1] * phi_3 * D2)
+        if pp:
+            phi_1 = jnp.expm1(-h)
+            phi_2 = phi_1 / h + 1.0
+            phi_3 = phi_2 / h - 0.5
+            return (sig[i + 1] / sig[i] * x
+                    - alp[i + 1] * phi_1 * m0
+                    + alp[i + 1] * phi_2 * D1
+                    - alp[i + 1] * phi_3 * D2)
+        phi_1 = jnp.expm1(h)
+        phi_2 = phi_1 / h - 1.0
+        phi_3 = phi_2 / h - 0.5
+        return (alp[i + 1] / alp[i] * x
+                - sig[i + 1] * phi_1 * m0
+                - sig[i + 1] * phi_2 * D1
+                - sig[i + 1] * phi_3 * D2)
 
     assert steps >= order >= 1
     m1 = eval_model(x, 0)
@@ -377,86 +434,204 @@ def _sample_multistep(fn, ns, x, steps, order, lower_order_final, skip_type,
     return update1(x, m0, i - 1)
 
 
-def _sample_singlestep(fn, ns, x, ts_outer, orders, solver_type, skip_type):
-    """Singlestep DPM-Solver++ driver (dpm_solver.py:1216-1235). Per-step
-    orders are static, so the outer loop unrolls."""
-    ts_outer = np.asarray(ts_outer, np.float32)
-    b = x.shape[0]
+# ---------------------------------------------------------------------------
+# Traced singlestep updates shared by the singlestep driver and the
+# adaptive solver. s/t may be python floats or traced scalars.
+# ---------------------------------------------------------------------------
 
-    def eval_at(xv, t_cont, i):
-        td = jnp.full((b,), float(t_cont) * ns.total_N - 1.0, jnp.float32)
-        return fn(xv, td, i)
+def _coeffs(ns, t):
+    lam = ns.marginal_lambda(t)
+    log_alp = ns.marginal_log_mean_coeff(t)
+    sig = ns.marginal_std(t)
+    return lam, jnp.exp(log_alp), sig, log_alp
 
-    def coeffs(t_cont):
-        t = jnp.float32(float(t_cont))
-        lam = ns.marginal_lambda(t)
-        sig = ns.marginal_std(t)
-        alp = jnp.exp(ns.marginal_log_mean_coeff(t))
-        return lam, sig, alp
 
-    for step, order in enumerate(orders):
-        s, t = float(ts_outer[step]), float(ts_outer[step + 1])
-        inner = np.asarray(get_time_steps(ns, skip_type, s, t, order))
-        lam_in = np.asarray(ns.marginal_lambda(jnp.asarray(inner)))
-        h_full = lam_in[-1] - lam_in[0]
-        lam_s, sig_s, _ = coeffs(s)
-        lam_t, sig_t, alp_t = coeffs(t)
-        h = lam_t - lam_s
-        m_s = eval_at(x, s, step)
+def _single_update1(ns, x, s, t, m_s, pp):
+    """DPM-Solver-1 / DDIM step (dpm_solver.py:562-581)."""
+    lam_s, alp_s, sig_s, loga_s = _coeffs(ns, s)
+    lam_t, alp_t, sig_t, loga_t = _coeffs(ns, t)
+    h = lam_t - lam_s
+    if pp:
+        return sig_t / sig_s * x - alp_t * jnp.expm1(-h) * m_s
+    return jnp.exp(loga_t - loga_s) * x - sig_t * jnp.expm1(h) * m_s
 
-        if order == 1:
-            phi_1 = jnp.expm1(-h)
-            x = sig_t / sig_s * x - alp_t * phi_1 * m_s
-            continue
 
-        if order == 2:
-            r1 = float((lam_in[1] - lam_in[0]) / h_full)
-            lam_s1 = lam_s + r1 * h
-            s1 = ns.inverse_lambda(lam_s1)
-            sig_s1 = ns.marginal_std(s1)
-            alp_s1 = jnp.exp(ns.marginal_log_mean_coeff(s1))
-            phi_11 = jnp.expm1(-r1 * h)
-            phi_1 = jnp.expm1(-h)
-            x_s1 = sig_s1 / sig_s * x - alp_s1 * phi_11 * m_s
-            td1 = jnp.full((b,), s1 * ns.total_N - 1.0, jnp.float32)
-            m_s1 = fn(x_s1, td1, step)
-            base = sig_t / sig_s * x - alp_t * phi_1 * m_s
-            if solver_type == "dpmsolver":
-                x = base - (0.5 / r1) * alp_t * phi_1 * (m_s1 - m_s)
-            else:
-                x = base + (1.0 / r1) * alp_t * (phi_1 / h + 1.0) * (
-                    m_s1 - m_s)
-            continue
+def _single_update2(eval_fn, ns, x, s, t, r1, m_s, solver_type, pp):
+    """Singlestep second-order update; returns (x_t, m_s1)
+    (dpm_solver.py:596-674)."""
+    lam_s, alp_s, sig_s, loga_s = _coeffs(ns, s)
+    lam_t, alp_t, sig_t, loga_t = _coeffs(ns, t)
+    h = lam_t - lam_s
+    lam_s1 = lam_s + r1 * h
+    s1 = ns.inverse_lambda(lam_s1)
+    _, alp_s1, sig_s1, loga_s1 = _coeffs(ns, s1)
+    if pp:
+        phi_11 = jnp.expm1(-r1 * h)
+        phi_1 = jnp.expm1(-h)
+        x_s1 = sig_s1 / sig_s * x - alp_s1 * phi_11 * m_s
+        m_s1 = eval_fn(x_s1, s1)
+        base = sig_t / sig_s * x - alp_t * phi_1 * m_s
+        if solver_type == "dpmsolver":
+            x_t = base - (0.5 / r1) * alp_t * phi_1 * (m_s1 - m_s)
+        else:
+            x_t = base + (1.0 / r1) * alp_t * (phi_1 / h + 1.0) * (
+                m_s1 - m_s)
+        return x_t, m_s1
+    phi_11 = jnp.expm1(r1 * h)
+    phi_1 = jnp.expm1(h)
+    x_s1 = jnp.exp(loga_s1 - loga_s) * x - sig_s1 * phi_11 * m_s
+    m_s1 = eval_fn(x_s1, s1)
+    base = jnp.exp(loga_t - loga_s) * x - sig_t * phi_1 * m_s
+    if solver_type == "dpmsolver":
+        x_t = base - (0.5 / r1) * sig_t * phi_1 * (m_s1 - m_s)
+    else:
+        x_t = base - (1.0 / r1) * sig_t * (phi_1 / h - 1.0) * (m_s1 - m_s)
+    return x_t, m_s1
 
-        # order 3 (dpm_solver.py:675-795, dpmsolver++ branch)
-        r1 = float((lam_in[1] - lam_in[0]) / h_full)
-        r2 = float((lam_in[2] - lam_in[0]) / h_full)
-        lam_s1, lam_s2 = lam_s + r1 * h, lam_s + r2 * h
-        s1, s2 = ns.inverse_lambda(lam_s1), ns.inverse_lambda(lam_s2)
-        sig_s1, sig_s2 = ns.marginal_std(s1), ns.marginal_std(s2)
-        alp_s1 = jnp.exp(ns.marginal_log_mean_coeff(s1))
-        alp_s2 = jnp.exp(ns.marginal_log_mean_coeff(s2))
+
+def _single_update3(eval_fn, ns, x, s, t, r1, r2, m_s, m_s1, solver_type,
+                    pp):
+    """Singlestep third-order update; ``m_s1`` may be None (evaluated at
+    s1 = inv(lam_s + r1 h)). Returns (x_t, m_s1, m_s2)
+    (dpm_solver.py:675-795)."""
+    lam_s, alp_s, sig_s, loga_s = _coeffs(ns, s)
+    lam_t, alp_t, sig_t, loga_t = _coeffs(ns, t)
+    h = lam_t - lam_s
+    lam_s1, lam_s2 = lam_s + r1 * h, lam_s + r2 * h
+    s1, s2 = ns.inverse_lambda(lam_s1), ns.inverse_lambda(lam_s2)
+    _, alp_s1, sig_s1, loga_s1 = _coeffs(ns, s1)
+    _, alp_s2, sig_s2, loga_s2 = _coeffs(ns, s2)
+    if pp:
         phi_11 = jnp.expm1(-r1 * h)
         phi_12 = jnp.expm1(-r2 * h)
         phi_1 = jnp.expm1(-h)
         phi_22 = jnp.expm1(-r2 * h) / (r2 * h) + 1.0
         phi_2 = phi_1 / h + 1.0
         phi_3 = phi_2 / h - 0.5
-
-        x_s1 = sig_s1 / sig_s * x - alp_s1 * phi_11 * m_s
-        td1 = jnp.full((b,), s1 * ns.total_N - 1.0, jnp.float32)
-        m_s1 = fn(x_s1, td1, step)
+        if m_s1 is None:
+            x_s1 = sig_s1 / sig_s * x - alp_s1 * phi_11 * m_s
+            m_s1 = eval_fn(x_s1, s1)
         x_s2 = (sig_s2 / sig_s * x - alp_s2 * phi_12 * m_s
                 + (r2 / r1) * alp_s2 * phi_22 * (m_s1 - m_s))
-        td2 = jnp.full((b,), s2 * ns.total_N - 1.0, jnp.float32)
-        m_s2 = fn(x_s2, td2, step)
+        m_s2 = eval_fn(x_s2, s2)
         base = sig_t / sig_s * x - alp_t * phi_1 * m_s
         if solver_type == "dpmsolver":
-            x = base + (1.0 / r2) * alp_t * phi_2 * (m_s2 - m_s)
+            x_t = base + (1.0 / r2) * alp_t * phi_2 * (m_s2 - m_s)
         else:
             D1_0 = (m_s1 - m_s) / r1
             D1_1 = (m_s2 - m_s) / r2
             D1 = (r2 * D1_0 - r1 * D1_1) / (r2 - r1)
             D2 = 2.0 * (D1_1 - D1_0) / (r2 - r1)
-            x = base + alp_t * phi_2 * D1 - alp_t * phi_3 * D2
+            x_t = base + alp_t * phi_2 * D1 - alp_t * phi_3 * D2
+        return x_t, m_s1, m_s2
+    phi_11 = jnp.expm1(r1 * h)
+    phi_12 = jnp.expm1(r2 * h)
+    phi_1 = jnp.expm1(h)
+    phi_22 = jnp.expm1(r2 * h) / (r2 * h) - 1.0
+    phi_2 = phi_1 / h - 1.0
+    phi_3 = phi_2 / h - 0.5
+    if m_s1 is None:
+        x_s1 = jnp.exp(loga_s1 - loga_s) * x - sig_s1 * phi_11 * m_s
+        m_s1 = eval_fn(x_s1, s1)
+    x_s2 = (jnp.exp(loga_s2 - loga_s) * x - sig_s2 * phi_12 * m_s
+            - (r2 / r1) * sig_s2 * phi_22 * (m_s1 - m_s))
+    m_s2 = eval_fn(x_s2, s2)
+    base = jnp.exp(loga_t - loga_s) * x - sig_t * phi_1 * m_s
+    if solver_type == "dpmsolver":
+        x_t = base - (1.0 / r2) * sig_t * phi_2 * (m_s2 - m_s)
+    else:
+        D1_0 = (m_s1 - m_s) / r1
+        D1_1 = (m_s2 - m_s) / r2
+        D1 = (r2 * D1_0 - r1 * D1_1) / (r2 - r1)
+        D2 = 2.0 * (D1_1 - D1_0) / (r2 - r1)
+        x_t = base - sig_t * phi_2 * D1 - sig_t * phi_3 * D2
+    return x_t, m_s1, m_s2
+
+
+def _sample_singlestep(fn, ns, x, ts_outer, orders, solver_type, skip_type,
+                       pp):
+    """Singlestep driver (dpm_solver.py:1216-1235). Per-step orders are
+    static, so the outer loop unrolls."""
+    ts_outer = np.asarray(ts_outer, np.float32)
+    b = x.shape[0]
+
+    def make_eval(i):
+        def eval_fn(xv, t_cont):
+            td = (jnp.asarray(t_cont, jnp.float32) * ns.total_N
+                  - 1.0) * jnp.ones((b,), jnp.float32)
+            return fn(xv, td, i)
+        return eval_fn
+
+    for step, order in enumerate(orders):
+        s, t = float(ts_outer[step]), float(ts_outer[step + 1])
+        eval_fn = make_eval(step)
+        m_s = eval_fn(x, s)
+        if order == 1:
+            x = _single_update1(ns, x, s, t, m_s, pp)
+            continue
+        # r1/r2 from the inner grid of the chosen skip_type (:1228-1232)
+        inner = np.asarray(get_time_steps(ns, skip_type, s, t, order))
+        lam_in = np.asarray(ns.marginal_lambda(jnp.asarray(inner)))
+        h_full = lam_in[-1] - lam_in[0]
+        r1 = float((lam_in[1] - lam_in[0]) / h_full)
+        if order == 2:
+            x, _ = _single_update2(eval_fn, ns, x, s, t, r1, m_s,
+                                   solver_type, pp)
+            continue
+        r2 = float((lam_in[2] - lam_in[0]) / h_full)
+        x, _, _ = _single_update3(eval_fn, ns, x, s, t, r1, r2, m_s, None,
+                                  solver_type, pp)
+    return x
+
+
+def _sample_adaptive(fn, ns, x, order, t_T, t_0, h_init, atol, rtol, theta,
+                     t_err, solver_type, pp):
+    """Adaptive step-size solver (dpm_solver.py:956-1010): embedded
+    lower/higher singlestep pair, step accepted when the scaled error
+    E <= 1, logSNR step h <- min(theta h E^(-1/order), lambda_0 - lambda_s).
+    Compiled as a ``lax.while_loop``."""
+    if order not in (2, 3):
+        raise ValueError("adaptive solver supports order 2 or 3")
+    b = x.shape[0]
+
+    def eval_fn(xv, t_cont):
+        td = (t_cont * ns.total_N - 1.0) * jnp.ones((b,), jnp.float32)
+        return fn(xv, td, 0)
+
+    lam_0 = ns.marginal_lambda(jnp.float32(t_0))
+
+    def cond(carry):
+        x, x_prev, s, h = carry
+        return jnp.abs(s - t_0) > t_err
+
+    def body(carry):
+        x, x_prev, s, h = carry
+        lam_s = ns.marginal_lambda(s)
+        t = ns.inverse_lambda(lam_s + h)
+        m_s = eval_fn(x, s)
+        if order == 2:
+            x_lower = _single_update1(ns, x, s, t, m_s, pp)
+            x_higher, _ = _single_update2(eval_fn, ns, x, s, t, 0.5, m_s,
+                                          solver_type, pp)
+        else:
+            x_lower, m_s1 = _single_update2(eval_fn, ns, x, s, t, 1.0 / 3.0,
+                                            m_s, solver_type, pp)
+            x_higher, _, _ = _single_update3(
+                eval_fn, ns, x, s, t, 1.0 / 3.0, 2.0 / 3.0, m_s, m_s1,
+                solver_type, pp)
+        delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_lower),
+                                                     jnp.abs(x_prev)))
+        err = ((x_higher - x_lower) / delta).reshape(b, -1)
+        E = jnp.sqrt(jnp.mean(err * err, axis=-1)).max()
+        accept = E <= 1.0
+        x_new = jnp.where(accept, x_higher, x)
+        x_prev_new = jnp.where(accept, x_lower, x_prev)
+        s_new = jnp.where(accept, t, s)
+        lam_new = ns.marginal_lambda(s_new)
+        h_new = jnp.minimum(theta * h * E ** (-1.0 / order),
+                            lam_0 - lam_new)
+        return (x_new, x_prev_new, s_new, h_new)
+
+    carry = (x, x, jnp.float32(t_T), jnp.float32(h_init))
+    x, _, _, _ = jax.lax.while_loop(cond, body, carry)
     return x

@@ -346,3 +346,73 @@ def test_unipc_vary_coeff_parity(steps, order):
                         jnp.asarray(x), steps=steps, order=order,
                         variant="vary_coeff")
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# algorithm_type='dpmsolver' (noise form), adaptive method, inverse
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("order,method", [(2, "multistep"), (3, "multistep"),
+                                          (3, "singlestep")])
+def test_dpm_noise_algorithm_parity(order, method):
+    from sampler.dpm_solver import (NoiseScheduleVP as RefNS, model_wrapper,
+                                    DPM_Solver)
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(1, 4, 8)).astype(np.float32)
+    ref_ns = RefNS(schedule="discrete", betas=torch.tensor(_betas()))
+    model_fn = model_wrapper(_toy_x0_torch, ref_ns, model_type="x_start")
+    solver = DPM_Solver(model_fn, ref_ns, algorithm_type="dpmsolver")
+    with torch.no_grad():
+        ref_out = solver.sample(torch.tensor(x), steps=12, order=order,
+                                skip_type="time_uniform",
+                                method=method).numpy()
+    ours = sample_dpmpp(_toy_x0_jax, NoiseScheduleVP(_betas()),
+                        jnp.asarray(x), steps=12, order=order, method=method,
+                        algorithm_type="dpmsolver")
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_dpmpp_adaptive(order):
+    """Adaptive solver: parity with the reference adaptive driver (same
+    accept/reject trajectory at these tolerances) and accuracy against a
+    dense multistep solve."""
+    from sampler.dpm_solver import (NoiseScheduleVP as RefNS, model_wrapper,
+                                    DPM_Solver)
+    rng = np.random.default_rng(14)
+    x = rng.normal(size=(1, 4, 8)).astype(np.float32)
+    ref_ns = RefNS(schedule="discrete", betas=torch.tensor(_betas()))
+    model_fn = model_wrapper(_toy_x0_torch, ref_ns, model_type="x_start")
+    solver = DPM_Solver(model_fn, ref_ns, algorithm_type="dpmsolver++")
+    with torch.no_grad():
+        ref_out = solver.sample(torch.tensor(x), order=order,
+                                method="adaptive").numpy()
+    ns = NoiseScheduleVP(_betas())
+    ours = sample_dpmpp(_toy_x0_jax, ns, jnp.asarray(x), order=order,
+                        method="adaptive")
+    dense = sample_dpmpp(_toy_x0_jax, ns, jnp.asarray(x), steps=50, order=2)
+    # coarse accuracy gate vs dense solve: the default adaptive tolerances
+    # (atol 0.0078, rtol 0.05) land ~0.09 from the dense solution in the
+    # reference too — this only guards against gross divergence
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(dense),
+                               atol=0.15)
+    # trajectory parity vs the reference adaptive driver
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-3)
+
+
+def test_dpmpp_inverse_parity():
+    from sampler.dpm_solver import (NoiseScheduleVP as RefNS, model_wrapper,
+                                    DPM_Solver)
+    from diff_vits_tpu.diffusion.dpm_solver import inverse_dpmpp
+    rng = np.random.default_rng(15)
+    x = 0.5 * rng.normal(size=(1, 4, 8)).astype(np.float32)
+    ref_ns = RefNS(schedule="discrete", betas=torch.tensor(_betas()))
+    model_fn = model_wrapper(_toy_x0_torch, ref_ns, model_type="x_start")
+    solver = DPM_Solver(model_fn, ref_ns, algorithm_type="dpmsolver++")
+    with torch.no_grad():
+        ref_out = solver.inverse(torch.tensor(x), steps=12, order=2,
+                                 skip_type="time_uniform",
+                                 method="multistep").numpy()
+    ours = inverse_dpmpp(_toy_x0_jax, NoiseScheduleVP(_betas()),
+                         jnp.asarray(x), steps=12, order=2)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
