@@ -79,6 +79,14 @@ class TextMelDataset:
                     f.readline(), self.add_blank)
             if os.path.exists(mel_path):
                 mel = np.load(mel_path)
+            elif os.path.exists(path[:-4] + ".mel.pt"):
+                # datasets preprocessed by the reference repo: torch-saved
+                # [1, 100, T] log-mel (preprocess.py:44-55) -> [T, 100]
+                import torch
+                t = torch.load(path[:-4] + ".mel.pt", map_location="cpu",
+                               weights_only=True)
+                mel = np.ascontiguousarray(
+                    t.numpy().reshape(-1, t.shape[-1]).T)
             else:
                 wav, sr = audio_lib.read_wav(path)
                 wav = audio_lib.resample(wav, sr, self.cfg.data.sampling_rate)

@@ -421,5 +421,20 @@ def diff_vits_params(state, **kwargs):
             k: v for k, v in kwargs.items()
             if k in ("n_layers_enc", "posterior_layers", "gin",
                      "o_proj_layers")}),
-        "diff_model": diffusion_encoder_params(state, "diff_model"),
+        "diff_model": diffusion_encoder_params(state, "diff_model", **{
+            k: v for k, v in kwargs.items()
+            if k in ("block_out", "n_prompt_layers")}),
     }
+
+
+def diff_vits_params_from_config(state, cfg):
+    """Config-driven transplant: derive the per-module layer counts from a
+    ``core.config.Config`` instead of the reference defaults."""
+    return diff_vits_params(
+        state,
+        n_layers_enc=cfg.vits.n_layers,
+        posterior_layers=cfg.vits.posterior_n_layers,
+        gin=cfg.vits.gin_channels,
+        block_out=tuple(cfg.diffusion_encoder.block_out_channels),
+        n_prompt_layers=cfg.diffusion_encoder.n_prompt_layers,
+    )

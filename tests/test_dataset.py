@@ -92,3 +92,31 @@ def test_parse_cleaned_line_roundtrip():
     phones, tones, langs = parse_cleaned_line(line, add_blank=True)
     assert len(phones) == len(tones) == len(langs) == 15  # 7*2+1 blanks
     assert phones[0] == 0 and phones[3] != 0  # blanks interleaved
+
+
+def test_reference_mel_pt_fallback(tmp_path):
+    """Datasets preprocessed by the reference repo (.mel.pt, [1,100,T])
+    load without re-preprocessing."""
+    import struct
+    import wave
+
+    import torch
+
+    from diff_vits_tpu.data.dataset import TextMelDataset
+
+    wav_path = tmp_path / "utt0.wav"
+    with wave.open(str(wav_path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(24000)
+        w.writeframes(struct.pack("<h", 0) * 2400)
+    (tmp_path / "utt0.txt").write_text("ZH|x|_ a _|0 1 0|1 1 1\n")
+    mel = np.random.default_rng(0).normal(size=(1, 100, 37)).astype(
+        np.float32)
+    torch.save(torch.tensor(mel), str(tmp_path / "utt0.mel.pt"))
+
+    ds = TextMelDataset(_cfg(), root=str(tmp_path))
+    ex = ds.load(0)
+    assert ex is not None
+    assert ex.mel.shape == (37, 100)
+    np.testing.assert_allclose(ex.mel, mel[0].T)
