@@ -1,6 +1,8 @@
 """UniPC (unified predictor-corrector) sampler, compiled as one XLA program.
 
-Parity surface: the reference ``UniPC`` in data-prediction multistep form —
+Parity surface: the reference ``UniPC`` multistep driver in both
+data-prediction and noise-prediction forms (uni_pc.py:241), with dynamic
+thresholding (:255-262) —
 variants 'bh1'/'bh2' (B(h)=h or e^h-1, uni_pc.py:509-514) at orders 1-3
 (order-k Vandermonde solves, :534-546) and the 'vary_coeff' variant
 (:368-469, C-matrix inverses incl. its corrector's A_c[K-2][-1] indexing
@@ -36,18 +38,29 @@ def sample_unipc(
     variant: str = "bh2",
     skip_type: str = "time_uniform",
     lower_order_final: bool = True,
+    algorithm_type: str = "data_prediction",
+    correcting_x0_fn=None,
+    thresholding_ratio: float = 0.995,
+    thresholding_max_val: float = 1.0,
 ) -> jnp.ndarray:
-    """UniPC multistep sampling (data prediction) from x ~ N(0, I).
+    """UniPC multistep sampling from x ~ N(0, I).
 
     Args:
       x0_fn: ``(x, t_discrete[B]) -> x0`` prediction.
       order: 1, 2 or 3.
       variant: 'bh1' | 'bh2' | 'vary_coeff'.
+      algorithm_type: 'data_prediction' | 'noise_prediction' (uni_pc.py:241;
+        the x0 callback is converted to a noise predictor internally).
+      correcting_x0_fn: None, 'dynamic_thresholding', or a callable applied
+        to every x0 prediction (data_prediction only, uni_pc.py:255-262).
     """
     assert 1 <= order <= 3, "UniPC orders 1-3 supported"
     assert steps >= order
     if variant not in ("bh1", "bh2", "vary_coeff"):
         raise ValueError(f"unsupported variant {variant!r}")
+    if algorithm_type not in ("data_prediction", "noise_prediction"):
+        raise ValueError(f"unsupported algorithm_type {algorithm_type!r}")
+    pp = algorithm_type == "data_prediction"
     ns = noise_schedule
     ts = get_time_steps(ns, skip_type, ns.T, 1.0 / ns.total_N, steps)
     lam = ns.marginal_lambda(ts)
@@ -55,7 +68,32 @@ def sample_unipc(
     alp = jnp.exp(ns.marginal_log_mean_coeff(ts))
     b = x.shape[0]
 
-    fn = adapt_x0_fn(x0_fn)
+    base_fn = adapt_x0_fn(x0_fn)
+
+    if correcting_x0_fn == "dynamic_thresholding":
+        from diff_vits_tpu.diffusion.dpm_solver import dynamic_thresholding
+
+        def correct(x0):
+            return dynamic_thresholding(x0, thresholding_ratio,
+                                        thresholding_max_val)
+    elif correcting_x0_fn is None:
+        correct = None
+    else:
+        correct = correcting_x0_fn
+
+    if pp:
+        def fn(xv, td, i):
+            out = base_fn(xv, td, i)
+            return correct(out) if correct is not None else out
+    else:
+        # noise_prediction route: convert x0 -> eps, no x0 correction
+        def fn(xv, td, i):
+            x0 = base_fn(xv, td, i)
+            t_cont = (td + 1.0) / ns.total_N
+            shape = (-1,) + (1,) * (xv.ndim - 1)
+            alpha = ns.marginal_alpha(t_cont).reshape(shape)
+            sigma = ns.marginal_std(t_cont).reshape(shape)
+            return (xv - alpha * x0) / sigma
 
     def eval_model(x, i):
         td = jnp.full((b,), ts[i] * ns.total_N - 1.0, jnp.float32)
@@ -66,9 +104,10 @@ def sample_unipc(
         first) at ts[i], ts[i-1], ... Parity: uni_pc.py:471-588."""
         m0 = ms[0]
         h = lam[i + 1] - lam[i]
-        hh = -h  # predict_x0
+        hh = -h if pp else h
         h_phi_1 = jnp.expm1(hh)
         B_h = hh if variant == "bh1" else jnp.expm1(hh)
+        coeff = alp[i + 1] if pp else sig[i + 1]
 
         rks = [(lam[i - j] - lam[i]) / h for j in range(1, k)] + [
             jnp.float32(1.0)]
@@ -87,14 +126,15 @@ def sample_unipc(
         R = jnp.stack(rows)
         bvec = jnp.stack(bs)
 
-        x_t_ = sig[i + 1] / sig[i] * x - alp[i + 1] * h_phi_1 * m0
+        x_t_ = (sig[i + 1] / sig[i] * x - alp[i + 1] * h_phi_1 * m0 if pp
+                else alp[i + 1] / alp[i] * x - sig[i + 1] * h_phi_1 * m0)
         if k >= 2:
             if k == 2:  # simplified (uni_pc.py:530-532)
                 rhos_p = jnp.asarray([0.5], jnp.float32)
             else:
                 rhos_p = jnp.linalg.solve(R[:-1, :-1], bvec[:-1])
             pred_res = sum(rhos_p[j] * D1s[j] for j in range(k - 1))
-            x_t = x_t_ - alp[i + 1] * B_h * pred_res
+            x_t = x_t_ - coeff * B_h * pred_res
         else:
             x_t = x_t_
         model_t = None
@@ -106,7 +146,7 @@ def sample_unipc(
             model_t = eval_model(x_t, i + 1)
             D1_t = model_t - m0
             corr_res = sum(rhos_c[j] * D1s[j] for j in range(k - 1))
-            x_t = x_t_ - alp[i + 1] * B_h * (corr_res + rhos_c[k - 1] * D1_t)
+            x_t = x_t_ - coeff * B_h * (corr_res + rhos_c[k - 1] * D1_t)
         return x_t, model_t
 
     def step_vary(x, ms, i, k, use_corrector):
@@ -114,8 +154,9 @@ def sample_unipc(
         (uni_pc.py:368-469)."""
         m0 = ms[0]
         h = lam[i + 1] - lam[i]
-        hh = -h
+        hh = -h if pp else h
         h_phi_1 = jnp.expm1(hh)
+        coeff = alp[i + 1] if pp else sig[i + 1]
 
         rks = [(lam[i - j] - lam[i]) / h for j in range(1, k)] + [
             jnp.float32(1.0)]
@@ -136,13 +177,14 @@ def sample_unipc(
             h_phi_k = h_phi_k / hh - 1.0 / factorial_j
             factorial_j *= j + 1
 
-        x_t_ = sig[i + 1] / sig[i] * x - alp[i + 1] * h_phi_1 * m0
+        x_t_ = (sig[i + 1] / sig[i] * x - alp[i + 1] * h_phi_1 * m0 if pp
+                else alp[i + 1] / alp[i] * x - sig[i + 1] * h_phi_1 * m0)
         x_t = x_t_
         if k >= 2:
             A_p = jnp.linalg.inv(C[:-1, :-1])
             for j in range(k - 1):
                 res = sum(A_p[j, l] * D1s[l] for l in range(k - 1))
-                x_t = x_t - alp[i + 1] * h_phi_ks[j + 1] * res
+                x_t = x_t - coeff * h_phi_ks[j + 1] * res
         model_t = None
         if use_corrector:
             A_c = jnp.linalg.inv(C)
@@ -151,12 +193,12 @@ def sample_unipc(
             x_t = x_t_
             for j in range(k - 1):
                 res = sum(A_c[j, l] * D1s[l] for l in range(k - 1))
-                x_t = x_t - alp[i + 1] * h_phi_ks[j + 1] * res
+                x_t = x_t - coeff * h_phi_ks[j + 1] * res
             # the reference indexes A_c by the *last loop value* of its
             # k-variable — A_c[max(K-2, 0)][-1] — not A_c[-1][-1]
             # (uni_pc.py:444-449); replicated verbatim
             jlast = max(k - 2, 0)
-            x_t = x_t - alp[i + 1] * h_phi_ks[k] * (A_c[jlast, -1] * D1_t)
+            x_t = x_t - coeff * h_phi_ks[k] * (A_c[jlast, -1] * D1_t)
         return x_t, model_t
 
     step = step_vary if variant == "vary_coeff" else step_bh

@@ -416,3 +416,48 @@ def test_dpmpp_inverse_parity():
     ours = inverse_dpmpp(_toy_x0_jax, NoiseScheduleVP(_betas()),
                          jnp.asarray(x), steps=12, order=2)
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
+
+
+@pytest.mark.parametrize("variant,order", [("bh2", 2), ("vary_coeff", 3)])
+def test_unipc_noise_prediction_parity(variant, order):
+    from sampler.uni_pc import NoiseScheduleVP as RefNS, model_wrapper, UniPC
+    rng = np.random.default_rng(16)
+    x = rng.normal(size=(1, 4, 8)).astype(np.float32)
+    ref_ns = RefNS(schedule="discrete", betas=torch.tensor(_betas()))
+    model_fn = model_wrapper(_toy_x0_torch, ref_ns, model_type="x_start")
+    uni_pc = UniPC(model_fn, ref_ns, algorithm_type="noise_prediction",
+                   variant=variant)
+    with torch.no_grad():
+        ref_out = uni_pc.sample(torch.tensor(x), steps=12, order=order,
+                                skip_type="time_uniform",
+                                method="multistep").numpy()
+    ours = sample_unipc(_toy_x0_jax, NoiseScheduleVP(_betas()),
+                        jnp.asarray(x), steps=12, order=order,
+                        variant=variant,
+                        algorithm_type="noise_prediction")
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
+
+
+def test_unipc_dynamic_thresholding_parity():
+    from sampler.uni_pc import NoiseScheduleVP as RefNS, model_wrapper, UniPC
+    rng = np.random.default_rng(17)
+    x = 3.0 * rng.normal(size=(1, 4, 8)).astype(np.float32)
+
+    def big_t(xx, tt, **kw):
+        return _toy_x0_torch(xx, tt) * 4.0
+
+    def big_j(xx, tt):
+        return _toy_x0_jax(xx, tt) * 4.0
+
+    ref_ns = RefNS(schedule="discrete", betas=torch.tensor(_betas()))
+    model_fn = model_wrapper(big_t, ref_ns, model_type="x_start")
+    uni_pc = UniPC(model_fn, ref_ns, variant="bh2",
+                   correcting_x0_fn="dynamic_thresholding")
+    with torch.no_grad():
+        ref_out = uni_pc.sample(torch.tensor(x), steps=10, order=2,
+                                skip_type="time_uniform",
+                                method="multistep").numpy()
+    ours = sample_unipc(big_j, NoiseScheduleVP(_betas()), jnp.asarray(x),
+                        steps=10, order=2,
+                        correcting_x0_fn="dynamic_thresholding")
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
