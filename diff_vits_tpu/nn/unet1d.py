@@ -28,6 +28,7 @@ from diff_vits_tpu.nn.param_holders import (
     DenseParams as _DenseParams,
     NormParams as _LayerNormParams,
 )
+from diff_vits_tpu.parallel.activations import constrain_seq
 
 
 class CrossAttention(nn.Module):
@@ -729,6 +730,10 @@ class UNet1DConditionModel(nn.Module):
         # 2. pre-process
         sample = nn.Conv(ch[0], (3,), padding="SAME", dtype=self.dtype,
                          name="conv_in")(sample)
+        # sequence-parallel: under an active 'seq' mesh axis these
+        # constraints shard T and GSPMD partitions the convs (halo
+        # exchange) and attentions (blockwise) around them; no-ops otherwise
+        sample = constrain_seq(sample)
 
         # 3. down
         res_stack = [sample]
@@ -748,6 +753,7 @@ class UNet1DConditionModel(nn.Module):
                     in_ch, ch[i], num_layers=self.layers_per_block,
                     groups=groups, add_downsample=False, dtype=self.dtype,
                     name=f"down_{i}")(sample, emb, deterministic=deterministic)
+            sample = constrain_seq(sample)
             res_stack.extend(outs)
 
         # 4. mid
@@ -757,6 +763,7 @@ class UNet1DConditionModel(nn.Module):
             dtype=self.dtype, name="mid")(sample, emb, encoder_hidden_states,
                                           ctx_bias, attn_bias,
                                           deterministic=deterministic)
+        sample = constrain_seq(sample)
 
         # 5. up (reverse channel order; num_layers + 1 resnets per block)
         rev = list(reversed(ch))
@@ -787,6 +794,7 @@ class UNet1DConditionModel(nn.Module):
                                     encoder_hidden_states, ctx_bias, attn_bias,
                                     upsample_size,
                                     deterministic=deterministic)
+            sample = constrain_seq(sample)
             prev_out = out_ch
 
         # 6. post-process

@@ -4,3 +4,9 @@ from diff_vits_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from diff_vits_tpu.parallel.activations import (
+    sequence_parallel,
+    enable_sequence_parallel,
+    disable_sequence_parallel,
+    constrain_seq,
+)

@@ -68,7 +68,7 @@ _ROW_HINTS = ("to_out", "out_proj", "ffn_2", "ff/out", "pwconv2", "fc")
 
 
 def _tp_spec(path: str, leaf, model_size: int, min_size: int,
-             fsdp_size: int = 1) -> P:
+             fsdp_size: int = 1, fsdp_axis: str = "fsdp") -> P:
     if getattr(leaf, "ndim", 0) < 2 or leaf.size < min_size:
         return P()
     spec = [None] * leaf.ndim
@@ -87,7 +87,7 @@ def _tp_spec(path: str, leaf, model_size: int, min_size: int,
         # state on every DDP rank)
         for dim in (-2, -1):
             if spec[dim] is None and leaf.shape[dim] % fsdp_size == 0:
-                spec[dim] = "fsdp"
+                spec[dim] = fsdp_axis
                 break
     return P(*spec)
 
@@ -105,21 +105,25 @@ def param_sharding_rules(mesh: Mesh, params, min_size: int = 1 << 16):
     return state_sharding_rules(mesh, params, min_size)
 
 
-def state_sharding_rules(mesh: Mesh, state, min_size: int = 1 << 16):
+def state_sharding_rules(mesh: Mesh, state, min_size: int = 1 << 16,
+                         fsdp_axis: str = "fsdp"):
     """Shardings for a params tree or full train state
     {params, opt_state, step, rng}.
 
     Optimizer moments mirror the params tree, so the same path-based rules
     apply (the param path is a suffix of the moment path); scalars and PRNG
-    keys are replicated.
+    keys are replicated. ``fsdp_axis`` names the mesh axis that ZeRO-3
+    scatters large kernels over — it may be a dedicated 'fsdp' axis or
+    shared with the sequence axis (the usual FSDP+SP pairing: both shard
+    "per layer" state that is all-gathered just-in-time).
     """
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     model_size = sizes.get("model", 1)
-    fsdp_size = sizes.get("fsdp", 1)
+    fsdp_size = sizes.get(fsdp_axis, 1)
 
     def spec(path_entries, leaf):
         path = "/".join(str(getattr(e, "key", e)) for e in path_entries)
         return NamedSharding(mesh, _tp_spec(path, leaf, model_size, min_size,
-                                            fsdp_size))
+                                            fsdp_size, fsdp_axis))
 
     return jax.tree_util.tree_map_with_path(spec, state)
