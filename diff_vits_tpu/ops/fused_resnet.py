@@ -74,7 +74,7 @@ def _kernel(x_ref, film_ref, g1s_ref, g1b_ref, w1_ref, b1_ref, g2s_ref,
     h = h * jax.nn.sigmoid(h)                       # silu
     h = _conv3(h, w1_ref[:], b1_ref[:], cdt)
     h = _group_norm(h, g2s_ref[:], g2b_ref[:], groups, eps)
-    film = film_ref[0]
+    film = film_ref[0, 0]
     h = h * (1.0 + film[:co][None, :]) + film[co:][None, :]
     h = h * jax.nn.sigmoid(h)
     h = _conv3(h, w2_ref[:], b2_ref[:], cdt)
@@ -116,10 +116,14 @@ def fused_resnet_block(x, film, gn1_scale, gn1_bias, w1, b1, gn2_scale,
 
     kernel = functools.partial(_kernel, groups=groups, eps=eps,
                                shortcut=shortcut, cdt=compute_dtype)
+    # film rides as [B, 1, 2Co]: a (1, 1, 2Co) block's trailing dims equal
+    # the array's, which Mosaic requires for B > 1 (a (1, 2Co) block over
+    # [B, 2Co] is rejected since 1 is neither 8-divisible nor equal to B)
+    film = film[:, None, :]
     return pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[batched((t, ci)), batched((2 * co,)),
+        in_specs=[batched((t, ci)), batched((1, 2 * co)),
                   full(gn1_scale), full(gn1_bias), full(w1), full(b1),
                   full(gn2_scale), full(gn2_bias), full(w2), full(b2),
                   full(w_short), full(b_short)],

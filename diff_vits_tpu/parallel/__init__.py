@@ -10,3 +10,4 @@ from diff_vits_tpu.parallel.activations import (
     disable_sequence_parallel,
     constrain_seq,
 )
+from diff_vits_tpu.parallel.pipeline import make_pipeline
