@@ -135,10 +135,13 @@ class BasicTransformerBlock(nn.Module):
     cross_attention_dim: Optional[int] = None
     dropout: float = 0.0
     use_fused: object = "auto"
+    moe_experts: int = 0   # >0: MoE expert feed-forward (EP-shardable)
+    moe_top_k: int = 2
     dtype: jnp.dtype = jnp.float32
 
     def _fused_enabled(self, deterministic, attention_bias):
-        if not deterministic or attention_bias is not None:
+        if not deterministic or attention_bias is not None \
+                or self.moe_experts:
             return False
         if self.num_heads * self.head_dim != self.dim:
             return False
@@ -194,6 +197,12 @@ class BasicTransformerBlock(nn.Module):
                 name="attn2")(h, context, context_bias,
                               deterministic=deterministic)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        if self.moe_experts:
+            from diff_vits_tpu.parallel.moe import MoEFeedForward
+            return x + MoEFeedForward(self.dim, self.moe_experts,
+                                      top_k=self.moe_top_k,
+                                      dtype=self.dtype, name="ff_moe")(
+                                          h, deterministic=deterministic)
         return x + GEGLUFeedForward(self.dim, dropout=self.dropout,
                                     dtype=self.dtype, name="ff")(
                                         h, deterministic=deterministic)
