@@ -86,6 +86,50 @@ def _kernel(x_ref, film_ref, g1s_ref, g1b_ref, w1_ref, b1_ref, g2s_ref,
     o_ref[0] = (sc + h).astype(o_ref.dtype)
 
 
+def _xla_twin(x, film, gn1_scale, gn1_bias, w1, b1, gn2_scale, gn2_bias,
+              w2, b2, w_short, b_short, *, groups, eps, shortcut, cdt):
+    """Plain-XLA formulation with the kernel's exact math — the backward
+    rule for the fused op (recompute-in-backward, remat-style)."""
+    def gn(h, scale, bias):
+        b_, t_, c_ = h.shape
+        hg = h.reshape(b_, t_, groups, c_ // groups)
+        mu = hg.mean(axis=(1, 3), keepdims=True)
+        var = jnp.square(hg - mu).mean(axis=(1, 3), keepdims=True)
+        hn = ((hg - mu) * jax.lax.rsqrt(var + eps)).reshape(b_, t_, c_)
+        return hn * scale[None, None, :] + bias[None, None, :]
+
+    def conv3(h, w, b_):
+        z = jnp.zeros_like(h[:, :1])
+        hm = jnp.concatenate([z, h[:, :-1]], axis=1)
+        hp = jnp.concatenate([h[:, 1:], z], axis=1)
+        out = jnp.einsum("btc,cd->btd", hm.astype(cdt), w[0].astype(cdt),
+                         preferred_element_type=jnp.float32)
+        out = out + jnp.einsum("btc,cd->btd", h.astype(cdt),
+                               w[1].astype(cdt),
+                               preferred_element_type=jnp.float32)
+        out = out + jnp.einsum("btc,cd->btd", hp.astype(cdt),
+                               w[2].astype(cdt),
+                               preferred_element_type=jnp.float32)
+        return out + b_[None, None, :]
+
+    xf = x.astype(jnp.float32)
+    co = w1.shape[-1]
+    h = gn(xf, gn1_scale, gn1_bias)
+    h = h * jax.nn.sigmoid(h)
+    h = conv3(h, w1, b1)
+    h = gn(h, gn2_scale, gn2_bias)
+    h = h * (1.0 + film[:, None, :co]) + film[:, None, co:]
+    h = h * jax.nn.sigmoid(h)
+    h = conv3(h, w2, b2)
+    if shortcut:
+        sc = jnp.einsum("btc,cd->btd", xf.astype(cdt), w_short.astype(cdt),
+                        preferred_element_type=jnp.float32) \
+            + b_short[None, None, :]
+    else:
+        sc = xf
+    return (sc + h).astype(x.dtype)
+
+
 def fused_resnet_block(x, film, gn1_scale, gn1_bias, w1, b1, gn2_scale,
                        gn2_bias, w2, b2, w_short=None, b_short=None, *,
                        groups: int = 32, eps: float = 1e-5,
@@ -95,6 +139,11 @@ def fused_resnet_block(x, film, gn1_scale, gn1_bias, w1, b1, gn2_scale,
 
     x: [B, T, Ci]; film: [B, 2*Co] (already silu+Dense-projected temb);
     w1: [3, Ci, Co]; w2: [3, Co, Co]; w_short: [Ci, Co] or None (identity).
+
+    Differentiable: the VJP recomputes through the math-identical XLA twin
+    (remat-style — only the primal inputs are saved), so `grad` through the
+    fused path is well-defined; the training path still *defaults* to the
+    XLA formulation per the A/B measurements.
     """
     b, t, ci = x.shape
     co = w1.shape[-1]
@@ -116,19 +165,29 @@ def fused_resnet_block(x, film, gn1_scale, gn1_bias, w1, b1, gn2_scale,
 
     kernel = functools.partial(_kernel, groups=groups, eps=eps,
                                shortcut=shortcut, cdt=compute_dtype)
-    # film rides as [B, 1, 2Co]: a (1, 1, 2Co) block's trailing dims equal
-    # the array's, which Mosaic requires for B > 1 (a (1, 2Co) block over
-    # [B, 2Co] is rejected since 1 is neither 8-divisible nor equal to B)
-    film = film[:, None, :]
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[batched((t, ci)), batched((1, 2 * co)),
-                  full(gn1_scale), full(gn1_bias), full(w1), full(b1),
-                  full(gn2_scale), full(gn2_bias), full(w2), full(b2),
-                  full(w_short), full(b_short)],
-        out_specs=batched((t, co)),
-        out_shape=jax.ShapeDtypeStruct((b, t, co), x.dtype),
-        interpret=interpret,
-    )(x, film, gn1_scale, gn1_bias, w1, b1, gn2_scale, gn2_bias, w2, b2,
-      w_short, b_short)
+
+    def run_kernel(x, film, gn1_scale, gn1_bias, w1, b1, gn2_scale,
+                   gn2_bias, w2, b2, w_short, b_short):
+        # film rides as [B, 1, 2Co]: a (1, 1, 2Co) block's trailing dims
+        # equal the array's, which Mosaic requires for B > 1 (a (1, 2Co)
+        # block over [B, 2Co] is rejected: 1 is neither 8-divisible nor B)
+        return pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[batched((t, ci)), batched((1, 2 * co)),
+                      full(gn1_scale), full(gn1_bias), full(w1), full(b1),
+                      full(gn2_scale), full(gn2_bias), full(w2), full(b2),
+                      full(w_short), full(b_short)],
+            out_specs=batched((t, co)),
+            out_shape=jax.ShapeDtypeStruct((b, t, co), x.dtype),
+            interpret=interpret,
+        )(x, film[:, None, :], gn1_scale, gn1_bias, w1, b1, gn2_scale,
+          gn2_bias, w2, b2, w_short, b_short)
+
+    xla_twin = functools.partial(_xla_twin, groups=groups, eps=eps,
+                                 shortcut=shortcut, cdt=compute_dtype)
+    f = jax.custom_vjp(run_kernel)
+    f.defvjp(lambda *a: (run_kernel(*a), a),
+             lambda res, g: jax.vjp(xla_twin, *res)[1](g))
+    return f(x, film, gn1_scale, gn1_bias, w1, b1, gn2_scale, gn2_bias,
+             w2, b2, w_short, b_short)

@@ -96,25 +96,78 @@ def _batched(shape):
                         memory_space=pltpu.VMEM)
 
 
+def _xla_mha(h_q, src, wq, wk, wv, wo, bo, bias, heads, cdt):
+    """Batched-XLA twin of _mha (fp32 accumulation, cdt matmuls)."""
+    q = jnp.einsum("btc,cd->btd", h_q.astype(cdt), wq.astype(cdt),
+                   preferred_element_type=jnp.float32)
+    k = jnp.einsum("bsc,cd->bsd", src.astype(cdt), wk.astype(cdt),
+                   preferred_element_type=jnp.float32)
+    v = jnp.einsum("bsc,cd->bsd", src.astype(cdt), wv.astype(cdt),
+                   preferred_element_type=jnp.float32)
+    b_, t_, inner = q.shape
+    d = inner // heads
+    qh = q.reshape(b_, t_, heads, d).astype(cdt)
+    kh = k.reshape(b_, -1, heads, d).astype(cdt)
+    vh = v.reshape(b_, -1, heads, d).astype(cdt)
+    s = jnp.einsum("bthd,bshd->bhts", qh, kh,
+                   preferred_element_type=jnp.float32) * d ** -0.5
+    if bias is not None:
+        s = s + bias[:, None, :, :]
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhts,bshd->bthd", p.astype(cdt), vh,
+                   preferred_element_type=jnp.float32)
+    o = o.reshape(b_, t_, inner)
+    return jnp.einsum("btd,dc->btc", o.astype(cdt), wo.astype(cdt),
+                      preferred_element_type=jnp.float32) + bo[None, None, :]
+
+
+def _ln_f32_batched(x, scale, bias, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _with_xla_vjp(run_kernel, xla_twin, args):
+    """custom_vjp wrapper: Pallas forward, math-identical XLA backward
+    (recompute-in-backward; only primal inputs are saved)."""
+    f = jax.custom_vjp(run_kernel)
+    f.defvjp(lambda *a: (run_kernel(*a), a),
+             lambda res, g: jax.vjp(xla_twin, *res)[1](g))
+    return f(*args)
+
+
 def fused_self_attention(x, ln_scale, ln_bias, wq, wk, wv, wo, bo, *,
                          heads: int, compute_dtype=jnp.bfloat16,
                          interpret: Optional[bool] = None):
-    """x + AttnOut(SDPA(LN(x))) in one kernel. x: [B, T, C]."""
+    """x + AttnOut(SDPA(LN(x))) in one kernel. x: [B, T, C].
+    Differentiable via an XLA-twin VJP."""
     b, t, c = x.shape
     if interpret is None:
         interpret = _use_interpret()
     kernel = functools.partial(_attn_kernel_self, heads=heads,
                                cdt=compute_dtype)
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[_batched((t, c)), _full((c,)), _full((c,)),
-                  _full(wq.shape), _full(wk.shape), _full(wv.shape),
-                  _full(wo.shape), _full(bo.shape)],
-        out_specs=_batched((t, c)),
-        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
-        interpret=interpret,
-    )(x, ln_scale, ln_bias, wq, wk, wv, wo, bo)
+
+    def run_kernel(x, ln_scale, ln_bias, wq, wk, wv, wo, bo):
+        return pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[_batched((t, c)), _full((c,)), _full((c,)),
+                      _full(wq.shape), _full(wk.shape), _full(wv.shape),
+                      _full(wo.shape), _full(bo.shape)],
+            out_specs=_batched((t, c)),
+            out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+            interpret=interpret,
+        )(x, ln_scale, ln_bias, wq, wk, wv, wo, bo)
+
+    def xla_twin(x, ln_scale, ln_bias, wq, wk, wv, wo, bo):
+        xf = x.astype(jnp.float32)
+        h = _ln_f32_batched(xf, ln_scale[None, None, :],
+                            ln_bias[None, None, :])
+        o = _xla_mha(h, h, wq, wk, wv, wo, bo, None, heads, compute_dtype)
+        return (xf + o).astype(x.dtype)
+
+    return _with_xla_vjp(run_kernel, xla_twin,
+                         (x, ln_scale, ln_bias, wq, wk, wv, wo, bo))
 
 
 def fused_cross_attention(x, ctx, bias, ln_scale, ln_bias, wq, wk, wv, wo,
@@ -132,17 +185,32 @@ def fused_cross_attention(x, ctx, bias, ln_scale, ln_bias, wq, wk, wv, wo,
         bias = jnp.zeros((b, 1, s), jnp.float32)
     kernel = functools.partial(_attn_kernel_cross, heads=heads,
                                cdt=compute_dtype)
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[_batched((t, c)), _batched((s, ctx.shape[2])),
-                  _batched((1, s)), _full((c,)), _full((c,)),
-                  _full(wq.shape), _full(wk.shape), _full(wv.shape),
-                  _full(wo.shape), _full(bo.shape)],
-        out_specs=_batched((t, c)),
-        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
-        interpret=interpret,
-    )(x, ctx, bias.astype(jnp.float32), ln_scale, ln_bias, wq, wk, wv, wo, bo)
+
+    def run_kernel(x, ctx, bias, ln_scale, ln_bias, wq, wk, wv, wo, bo):
+        return pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[_batched((t, c)), _batched((s, ctx.shape[2])),
+                      _batched((1, s)), _full((c,)), _full((c,)),
+                      _full(wq.shape), _full(wk.shape), _full(wv.shape),
+                      _full(wo.shape), _full(bo.shape)],
+            out_specs=_batched((t, c)),
+            out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+            interpret=interpret,
+        )(x, ctx, bias, ln_scale, ln_bias, wq, wk, wv, wo, bo)
+
+    def xla_twin(x, ctx, bias, ln_scale, ln_bias, wq, wk, wv, wo, bo):
+        xf = x.astype(jnp.float32)
+        h = _ln_f32_batched(xf, ln_scale[None, None, :],
+                            ln_bias[None, None, :])
+        o = _xla_mha(h, ctx.astype(jnp.float32), wq, wk, wv, wo, bo, bias,
+                     heads, compute_dtype)
+        return (xf + o).astype(x.dtype)
+
+    return _with_xla_vjp(
+        run_kernel, xla_twin,
+        (x, ctx, bias.astype(jnp.float32), ln_scale, ln_bias, wq, wk, wv,
+         wo, bo))
 
 
 def _erf_approx(x):
@@ -184,25 +252,48 @@ def fused_geglu_ff(x, ln_scale, ln_bias, w1, b1, w2, b2, *,
     if interpret is None:
         interpret = _use_interpret()
     nt = pl.cdiv(t, tile_t)
-    return pl.pallas_call(
-        functools.partial(_ff_kernel, cdt=compute_dtype),
-        grid=(b, nt),
-        in_specs=[
-            pl.BlockSpec((1, tile_t, c), lambda bb, i: (bb, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda bb, i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda bb, i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec(w1.shape, lambda bb, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(b1.shape, lambda bb, i: (0,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(w2.shape, lambda bb, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(b2.shape, lambda bb, i: (0,),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tile_t, c), lambda bb, i: (bb, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
-        interpret=interpret,
-    )(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+    def run_kernel(x, ln_scale, ln_bias, w1, b1, w2, b2):
+        return pl.pallas_call(
+            functools.partial(_ff_kernel, cdt=compute_dtype),
+            grid=(b, nt),
+            in_specs=[
+                pl.BlockSpec((1, tile_t, c), lambda bb, i: (bb, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c,), lambda bb, i: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c,), lambda bb, i: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(w1.shape, lambda bb, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(b1.shape, lambda bb, i: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(w2.shape, lambda bb, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(b2.shape, lambda bb, i: (0,),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile_t, c), lambda bb, i: (bb, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+            interpret=interpret,
+        )(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+    cdt = compute_dtype
+
+    def xla_twin(x, ln_scale, ln_bias, w1, b1, w2, b2):
+        xf = x.astype(jnp.float32)
+        h = _ln_f32_batched(xf, ln_scale[None, None, :],
+                            ln_bias[None, None, :])
+        h1 = jnp.einsum("btc,cd->btd", h.astype(cdt), w1.astype(cdt),
+                        preferred_element_type=jnp.float32) \
+            + b1[None, None, :]
+        inner = h1.shape[-1] // 2
+        g = h1[..., :inner] * _gelu_exact(h1[..., inner:])
+        o = jnp.einsum("btd,dc->btc", g.astype(cdt), w2.astype(cdt),
+                       preferred_element_type=jnp.float32) \
+            + b2[None, None, :]
+        return (xf + o).astype(x.dtype)
+
+    return _with_xla_vjp(run_kernel, xla_twin,
+                         (x, ln_scale, ln_bias, w1, b1, w2, b2))

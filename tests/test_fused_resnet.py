@@ -57,3 +57,25 @@ def test_training_path_stays_xla():
     g = jax.grad(loss)(params)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_fused_grad_matches_xla():
+    # the fused op's custom VJP recomputes through the XLA twin, so grads
+    # through the fused route equal grads of the XLA formulation
+    x, temb = _data()
+    kw = dict(in_channels=64, out_channels=96, groups=32)
+    params = U.ResnetBlock1D(use_fused=False, **kw).init(
+        jax.random.PRNGKey(0), x, temb)
+
+    def loss(m):
+        def f(p):
+            y = U.ResnetBlock1D(use_fused=m, **kw).apply(p, x, temb)
+            return jnp.sum(y ** 2)
+        return f
+
+    g_ref = jax.grad(loss(False))(params)
+    g_fused = jax.grad(loss(True))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-4)

@@ -69,3 +69,30 @@ def test_fused_self_only_block():
     out_fused = U.BasicTransformerBlock(use_fused=True, **kw).apply(params, x)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_fused_block_grad_matches_xla():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from diff_vits_tpu.nn.unet1d import BasicTransformerBlock
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 24, 32)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(2, 7, 16)), jnp.float32)
+    kw = dict(dim=32, num_heads=4, head_dim=8, cross_attention_dim=16)
+    params = BasicTransformerBlock(use_fused=False, **kw).init(
+        jax.random.PRNGKey(0), x, ctx)
+
+    def loss(m):
+        def f(p):
+            y = BasicTransformerBlock(use_fused=m, **kw).apply(p, x, ctx)
+            return jnp.sum(y ** 2)
+        return f
+
+    g_ref = jax.grad(loss(False))(params)
+    g_fused = jax.grad(loss(True))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-4)
