@@ -63,6 +63,13 @@ def main():
     parser.add_argument("--sample_method", type=str, default="unipc",
                         choices=["unipc", "dpmsolver", "ddim", "ddpm"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--noise_scale", type=float, default=0.667,
+                        help="prior sampling temperature (model3.py:817)")
+    parser.add_argument("--length_scale", type=float, default=1.0,
+                        help="duration multiplier (>1 = slower speech). "
+                             "The reference CLI parses speed controls but "
+                             "ignores them (tts_infer.py:112-129,161); "
+                             "this one works")
     parser.add_argument("--out_dir", type=str, default="output")
     parser.add_argument("--vocoder", type=str, default="auto",
                         choices=["auto", "jax", "torch", "none"],
@@ -89,7 +96,8 @@ def main():
 
     run = jax.jit(functools.partial(
         synthesize, model, sampling_steps=args.steps,
-        sample_method=args.sample_method))
+        sample_method=args.sample_method, noise_scale=args.noise_scale,
+        length_scale=args.length_scale))
     mel, out_lengths = run(
         params, jnp.asarray(phone), jnp.asarray(text_lengths),
         jnp.asarray(refer, jnp.float32), jnp.asarray(refer_lengths),

@@ -60,17 +60,20 @@ def ring_attention(q, k, v, keep_mask=None, *, axis_name: str,
     o = jnp.zeros((b, h, tq, d), q.dtype)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    def body(_, carry):
+    def body(carry, _):
         k_cur, v_cur, keep_cur, m, l, o = carry
         m, l, o = _block_attend(q, k_cur, v_cur, keep_cur, scale, m, l, o)
         k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
         v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
         if keep_cur is not None:
             keep_cur = jax.lax.ppermute(keep_cur, axis_name, perm)
-        return k_cur, v_cur, keep_cur, m, l, o
+        return (k_cur, v_cur, keep_cur, m, l, o), None
 
-    _, _, _, m, l, o = jax.lax.fori_loop(
-        0, n, body, (k, v, keep_mask, m, l, o))
+    # lax.scan (not fori_loop): scan has a reverse-mode rule, so the ring
+    # is trainable — the backward pass re-rotates k/v cotangents with the
+    # transposed ppermute automatically
+    (_, _, _, m, l, o), _ = jax.lax.scan(
+        body, (k, v, keep_mask, m, l, o), None, length=n)
     return o / jnp.maximum(l, 1e-30)[..., None]
 
 
