@@ -82,6 +82,11 @@ class DiffusionEncoderConfig:
     dim_time_mult: Optional[int] = None
     block_out_channels: Tuple[int, ...] = (128, 256, 384, 512)
     n_prompt_layers: int = 4
+    # >0 replaces every UNet transformer feed-forward with a top-k MoE
+    # (parallel/moe.py) whose stacked expert kernels shard over an
+    # 'expert'/'model' mesh axis. 0 = reference-parity dense GEGLU.
+    moe_experts: int = 0
+    moe_top_k: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,6 +34,8 @@ class DiffusionEncoder(nn.Module):
             attention_head_dim=c.n_heads,
             addition_embed_type="text",
             resnet_time_scale_shift="scale_shift",
+            moe_experts=getattr(c, "moe_experts", 0),
+            moe_top_k=getattr(c, "moe_top_k", 2),
             dtype=self.dtype)
 
     def encode_prompt(self, prompt, prompt_lengths, *,

@@ -296,6 +296,8 @@ class Transformer1D(nn.Module):
     num_layers: int = 1
     cross_attention_dim: Optional[int] = None
     norm_num_groups: int = 32
+    moe_experts: int = 0
+    moe_top_k: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -310,6 +312,7 @@ class Transformer1D(nn.Module):
             h = BasicTransformerBlock(
                 self.num_heads * self.head_dim, self.num_heads, self.head_dim,
                 cross_attention_dim=self.cross_attention_dim,
+                moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
                 dtype=self.dtype, name=f"block_{i}")(
                     h, context, attention_bias, context_bias,
                     deterministic=deterministic)
@@ -489,6 +492,8 @@ class CrossAttnDownBlock1D(nn.Module):
     cross_attention_dim: int = 128
     groups: int = 8
     add_downsample: bool = True
+    moe_experts: int = 0
+    moe_top_k: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -503,7 +508,9 @@ class CrossAttnDownBlock1D(nn.Module):
             x = Transformer1D(self.out_channels, self.num_heads,
                               self.out_channels // self.num_heads,
                               cross_attention_dim=self.cross_attention_dim,
-                              norm_num_groups=self.groups, dtype=self.dtype,
+                              norm_num_groups=self.groups,
+                              moe_experts=self.moe_experts,
+                              moe_top_k=self.moe_top_k, dtype=self.dtype,
                               name=f"attn_{i}")(
                                   x, context, attention_bias, context_bias,
                                   deterministic=deterministic)
@@ -547,6 +554,8 @@ class MidBlock1DCrossAttn(nn.Module):
     num_heads: int = 8
     cross_attention_dim: int = 128
     groups: int = 8
+    moe_experts: int = 0
+    moe_top_k: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -559,7 +568,9 @@ class MidBlock1DCrossAttn(nn.Module):
             x = Transformer1D(self.in_channels, self.num_heads,
                               self.in_channels // self.num_heads,
                               cross_attention_dim=self.cross_attention_dim,
-                              norm_num_groups=self.groups, dtype=self.dtype,
+                              norm_num_groups=self.groups,
+                              moe_experts=self.moe_experts,
+                              moe_top_k=self.moe_top_k, dtype=self.dtype,
                               name=f"attn_{i}")(
                                   x, context, attention_bias, context_bias,
                                   deterministic=deterministic)
@@ -583,6 +594,8 @@ class CrossAttnUpBlock1D(nn.Module):
     cross_attention_dim: int = 128
     groups: int = 8
     add_upsample: bool = True
+    moe_experts: int = 0
+    moe_top_k: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -602,7 +615,9 @@ class CrossAttnUpBlock1D(nn.Module):
             x = Transformer1D(self.out_channels, self.num_heads,
                               self.out_channels // self.num_heads,
                               cross_attention_dim=self.cross_attention_dim,
-                              norm_num_groups=self.groups, dtype=self.dtype,
+                              norm_num_groups=self.groups,
+                              moe_experts=self.moe_experts,
+                              moe_top_k=self.moe_top_k, dtype=self.dtype,
                               name=f"attn_{i}")(
                                   x, context, attention_bias, context_bias,
                                   deterministic=deterministic)
@@ -664,6 +679,8 @@ class UNet1DConditionModel(nn.Module):
     resnet_time_scale_shift: str = "scale_shift"
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
+    moe_experts: int = 0    # >0: MoE feed-forward in every transformer
+    moe_top_k: int = 2      # block (expert-parallel over an EP mesh axis)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -753,7 +770,9 @@ class UNet1DConditionModel(nn.Module):
                 sample, outs = CrossAttnDownBlock1D(
                     in_ch, ch[i], num_layers=self.layers_per_block,
                     num_heads=heads, cross_attention_dim=self.cross_attention_dim,
-                    groups=groups, add_downsample=True, dtype=self.dtype,
+                    groups=groups, add_downsample=True,
+                    moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+                    dtype=self.dtype,
                     name=f"down_{i}")(sample, emb, encoder_hidden_states,
                                       ctx_bias, attn_bias,
                                       deterministic=deterministic)
@@ -769,6 +788,7 @@ class UNet1DConditionModel(nn.Module):
         sample = MidBlock1DCrossAttn(
             ch[-1], num_heads=heads,
             cross_attention_dim=self.cross_attention_dim, groups=groups,
+            moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
             dtype=self.dtype, name="mid")(sample, emb, encoder_hidden_states,
                                           ctx_bias, attn_bias,
                                           deterministic=deterministic)
@@ -797,6 +817,7 @@ class UNet1DConditionModel(nn.Module):
                 sample = CrossAttnUpBlock1D(
                     in_ch, out_ch, prev_output_channel=prev_out,
                     num_layers=n_res, num_heads=heads,
+                    moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
                     cross_attention_dim=self.cross_attention_dim,
                     groups=groups, add_upsample=not is_final, dtype=self.dtype,
                     name=f"up_{i}")(sample, res_stack, emb,

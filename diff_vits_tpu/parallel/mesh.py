@@ -120,9 +120,19 @@ def state_sharding_rules(mesh: Mesh, state, min_size: int = 1 << 16,
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     model_size = sizes.get("model", 1)
     fsdp_size = sizes.get(fsdp_axis, 1)
+    # MoE expert kernels (leading num_experts dim, parallel/moe.py) shard
+    # over a dedicated 'expert' axis when the mesh has one, else ride the
+    # 'model' axis (the usual EP-shares-TP layout at small expert counts)
+    ep_axis = "expert" if sizes.get("expert", 1) > 1 else "model"
+    ep_size = sizes.get(ep_axis, 1)
 
     def spec(path_entries, leaf):
         path = "/".join(str(getattr(e, "key", e)) for e in path_entries)
+        if "ff_moe" in path and ep_size > 1 and \
+                getattr(leaf, "ndim", 0) >= 2 and \
+                path.rsplit("/", 1)[-1] in ("w1", "w2", "b1", "b2") and \
+                leaf.shape[0] % ep_size == 0:
+            return NamedSharding(mesh, P(ep_axis))
         return NamedSharding(mesh, _tp_spec(path, leaf, model_size, min_size,
                                             fsdp_size, fsdp_axis))
 
