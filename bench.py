@@ -264,10 +264,232 @@ def main_scaling(per_chip_batch: int = 8):
     }))
 
 
+def main_trainloop(batch_size: int = 32, steps: int = 30):
+    """End-to-end training-loop throughput at production batch: loader +
+    H2D + jitted step + metrics, through the real Trainer (VERDICT.md
+    next-round #6). Builds a synthetic preprocessed dataset on the fly."""
+    import os
+    import shutil
+    import tempfile
+
+    from diff_vits_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import dataclasses
+
+    from diff_vits_tpu.core.config import Config
+    from diff_vits_tpu.text.symbols import symbols
+    from diff_vits_tpu.train.trainer import Trainer
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, train_batch_size=batch_size, num_workers=0))
+
+    tmp = tempfile.mkdtemp(prefix="dvt_bench_")
+    try:
+        rng = np.random.default_rng(0)
+        n_utts = max(2 * batch_size, 64)
+        c = cfg.data.n_mel_channels
+        for i in range(n_utts):
+            t = int(rng.integers(cfg.data.max_mel_len,
+                                 cfg.data.max_mel_len * 2))
+            np.save(os.path.join(tmp, f"u{i}.mel.npy"),
+                    rng.normal(size=(t, c)).astype(np.float32))
+            n_ph = int(rng.integers(24, 48))
+            phones = " ".join(
+                symbols[int(j)] for j in rng.integers(1, 40, n_ph))
+            tones = " ".join("0" for _ in range(n_ph))
+            w2ph = " ".join("1" for _ in range(n_ph))
+            with open(os.path.join(tmp, f"u{i}.txt"), "w") as f:
+                f.write(f"EN|x|{phones}|{tones}|{w2ph}\n")
+            with open(os.path.join(tmp, f"u{i}.wav"), "wb") as f:
+                f.write(b"RIFF\x24\x00\x00\x00WAVEfmt ")  # stub; mel.npy wins
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, training_files=tmp,
+                                          val_files=tmp))
+
+        trainer = Trainer(cfg, workdir=os.path.join(tmp, "logs"))
+        batches = trainer._prefetch(iter(trainer.loader))
+        # warmup: compile + pipeline fill
+        for _ in range(3):
+            trainer.state, metrics = trainer.train_step(
+                trainer.state, next(batches))
+        jax.block_until_ready(metrics["loss/all"])
+
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            trainer.state, metrics = trainer.train_step(
+                trainer.state, next(batches))
+        jax.block_until_ready(metrics["loss/all"])
+        dt = (time.perf_counter() - t0) / steps
+
+        t_y = cfg.data.max_mel_len
+        print(json.dumps({
+            "metric": "trainloop_steps_per_s",
+            "value": round(1 / dt, 3),
+            "unit": f"steps/s_e2e_batch{batch_size}",
+            "vs_baseline": None,
+            "detail": {"loader": trainer.loader_kind,
+                       "step_time_s": round(dt, 4),
+                       "mel_frames_per_s": round(batch_size * t_y / dt, 1),
+                       "batch": batch_size,
+                       "loss": float(metrics["loss/all"])},
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_PEAK_BF16_TFLOPS = {
+    # per-chip dense bf16 peak (public TPU specs)
+    "v3": 123.0, "v4": 275.0, "v5 lite": 197.0, "v5e": 197.0,
+    "v5litepod": 197.0, "v5p": 459.0, "v6e": 918.0, "v6 lite": 918.0,
+}
+
+
+def _peak_flops_per_s() -> float:
+    import os
+    env = os.environ.get("DIFF_VITS_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in _PEAK_BF16_TFLOPS.items():
+        if k in kind:
+            return v * 1e12
+    return 197.0e12  # BASELINE.md target hardware: v5e
+
+
+def _flops_of(compiled) -> float:
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0))
+
+
+def main_mfu(batches=(8, 32, 64, 128)):
+    """Model FLOP utilization of the jitted train step across a batch sweep
+    (VERDICT.md next-round #2): FLOPs from XLA's cost model on the compiled
+    executable, MFU = FLOPs/step_time / chip peak. Finds the knee where the
+    chip goes FLOP-bound."""
+    from diff_vits_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from diff_vits_tpu.core.config import Config
+    from diff_vits_tpu.models.diff_vits import DiffVits, synthesize
+    from diff_vits_tpu.text.symbols import symbols
+    from diff_vits_tpu.train.trainer import make_optimizer, make_train_step
+
+    cfg = Config()
+    model = DiffVits(cfg, n_vocab=len(symbols), dtype=jnp.bfloat16)
+    tx = make_optimizer(cfg)
+    peak = _peak_flops_per_s()
+
+    t_x = cfg.data.max_text_len * 2 + 1
+    t_y = cfg.data.max_mel_len
+    s = t_y * 2 // 3 + 1
+    c = cfg.data.n_mel_channels
+
+    def make_batch(b):
+        rng = np.random.default_rng(0)
+        return {
+            "text": jnp.asarray(rng.integers(1, 100, (b, t_x)), jnp.int32),
+            "tone": jnp.zeros((b, t_x), jnp.int32),
+            "language": jnp.zeros((b, t_x), jnp.int32),
+            "spec": jnp.asarray(rng.normal(size=(b, t_y, c)), jnp.float32),
+            "refer": jnp.asarray(rng.normal(size=(b, s, c)), jnp.float32),
+            "text_lengths": jnp.full(b, t_x, jnp.int32),
+            "spec_lengths": jnp.full(b, t_y, jnp.int32),
+            "refer_lengths": jnp.full(b, s, jnp.int32),
+        }
+
+    batch0 = make_batch(2)
+    key = jax.random.PRNGKey(0)
+    init = jax.jit(lambda k: model.init(
+        {"params": k, "dropout": k}, batch0["text"], batch0["text_lengths"],
+        batch0["spec"], batch0["spec_lengths"], batch0["refer"],
+        batch0["refer_lengths"], batch0["tone"], batch0["language"],
+        rng=k)["params"])
+    params = init(key)
+
+    rows = []
+    best = None
+    for b in batches:
+        batch = make_batch(b)
+        state = {"params": params, "opt_state": tx.init(params),
+                 "step": jnp.asarray(0, jnp.int32), "rng": key}
+        step_fn = jax.jit(make_train_step(model, tx, cfg))
+        try:
+            compiled = step_fn.lower(state, batch).compile()
+            flops = _flops_of(compiled)
+            state, metrics = compiled(state, batch)  # warmup
+            jax.block_until_ready(metrics["loss/all"])
+
+            def pipelined(n):
+                nonlocal state
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    state, m = compiled(state, batch)
+                jax.block_until_ready(m["loss/all"])
+                return time.perf_counter() - t0
+
+            t1, t2 = pipelined(3), pipelined(13)
+            dt = max((t2 - t1) / 10, 1e-9)
+        except Exception as e:  # OOM at large batch: record and stop
+            rows.append({"batch": b, "error": str(e)[:120]})
+            break
+        mfu = flops / dt / peak
+        rows.append({"batch": b, "step_time_s": round(dt, 4),
+                     "tflops_per_step": round(flops / 1e12, 3),
+                     "frames_per_s": round(b * t_y / dt, 1),
+                     "mfu": round(mfu, 4)})
+        if best is None or mfu > best["mfu"]:
+            best = rows[-1]
+        del state, batch, compiled
+
+    # one denoise step of the inference UNet at b=1 (the RTF workload)
+    infer_row = None
+    try:
+        rngk = np.random.default_rng(0)
+        text = jnp.asarray(rngk.integers(1, 100, (1, 128)), jnp.int32)
+        refer = jnp.asarray(rngk.normal(size=(1, 240, c)), jnp.float32)
+        syn = jax.jit(lambda p, k: synthesize(
+            model, {"params": p}, text, jnp.full((1,), 128, jnp.int32),
+            refer, jnp.full((1,), 240, jnp.int32),
+            jnp.zeros((1, 128), jnp.int32), jnp.zeros((1, 128), jnp.int32),
+            key=k, sampling_steps=30, sample_method="unipc", max_len=t_y))
+        compiled = syn.lower(params, key).compile()
+        fl = _flops_of(compiled)
+        out = compiled(params, key)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(10):
+            out = compiled(params, jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+        dt_i = (time.perf_counter() - t0) / 10
+        infer_row = {"tflops_per_call": round(fl / 1e12, 3),
+                     "call_time_s": round(dt_i, 4),
+                     "mfu": round(fl / dt_i / peak, 4)}
+    except Exception as e:
+        infer_row = {"error": str(e)[:120]}
+
+    print(json.dumps({
+        "metric": "train_step_mfu",
+        "value": best["mfu"] if best else 0.0,
+        "unit": f"fraction_of_{peak/1e12:.0f}_tflops_peak",
+        "vs_baseline": None,  # the reference publishes no MFU (BASELINE.md)
+        "detail": {"sweep": rows, "best": best,
+                   "infer_unipc30_b1": infer_row,
+                   "device_kind": jax.devices()[0].device_kind},
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "train":
         main_train(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
     elif len(sys.argv) > 1 and sys.argv[1] == "scaling":
         main_scaling(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+    elif len(sys.argv) > 1 and sys.argv[1] == "mfu":
+        bs = tuple(int(x) for x in sys.argv[2:]) or (8, 32, 64, 128)
+        main_mfu(bs)
+    elif len(sys.argv) > 1 and sys.argv[1] == "trainloop":
+        main_trainloop(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
     else:
         main()

@@ -243,15 +243,17 @@ def _load_cmudict():
         os.environ.get("DIFF_VITS_CMUDICT"),
         os.path.join(os.path.dirname(__file__), "cmudict.rep"),
         # common locations for the public-domain CMU dictionary
-        "/root/reference/text/cmudict.rep",
+        # (http://www.speech.cs.cmu.edu/cgi-bin/cmudict — drop cmudict.rep
+        # next to this module or set DIFF_VITS_CMUDICT)
         os.path.expanduser("~/nltk_data/corpora/cmudict/cmudict"),
         "/usr/share/dict/cmudict",
     ]
     path = next((p for p in candidates if p and os.path.exists(p)), None)
     if path is None:
-        raise FileNotFoundError(
-            "English G2P needs a CMU dictionary file; set DIFF_VITS_CMUDICT "
-            "or place cmudict.rep next to this module.")
+        # no dictionary: every word goes through the rule-based LTS
+        # (english_lts.letter_to_sound)
+        _cmudict_cache = {}
+        return _cmudict_cache
     d = {}
     with open(path, encoding="latin-1") as f:
         for line in f:
@@ -271,8 +273,12 @@ def en_g2p(text: str) -> Tuple[List[str], List[int], List[int]]:
     """English grapheme-to-phoneme via CMUdict with ARPA stress -> tone.
 
     Parity: english.py:80-136 (stress digit becomes the tone channel;
-    unknown words fall back to per-letter UNK).
+    the reference phonemizes unknown words with g2p_en, english.py:103-116
+    — here OOV words go through the dependency-free rule LTS,
+    english_lts.letter_to_sound, and only letterless tokens become UNK).
     """
+    from diff_vits_tpu.text.english_lts import letter_to_sound
+
     d = _load_cmudict()
     words = re.findall(r"[A-Za-z']+|[.,!?;:]", text)
     phones: List[str] = []
@@ -287,6 +293,8 @@ def en_g2p(text: str) -> Tuple[List[str], List[int], List[int]]:
             continue
         arpa = d.get(w.upper())
         if arpa is None:
+            arpa = letter_to_sound(w)
+        if not arpa:
             phones.append('UNK')
             tones.append(0)
             word2ph.append(1)

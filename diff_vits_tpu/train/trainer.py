@@ -205,9 +205,16 @@ class Trainer:
                 from diff_vits_tpu.data.native_loader import NativeTrainLoader
                 loader = NativeTrainLoader(self.ds, self.cfg, **kw)
                 if len(loader) > 0:
+                    self.loader_kind = "native"
+                    print("loader: native C++ (csrc/loader.cc)", flush=True)
                     return loader
-            except Exception:  # noqa: BLE001 — toolchain missing: fall back
-                pass
+                reason = "no .npy mel sidecars in the dataset"
+            except Exception as e:  # noqa: BLE001 — toolchain missing
+                reason = f"{type(e).__name__}: {e}"
+            # never fall back silently: a run must record which input
+            # pipeline fed it (VERDICT.md weak #3)
+            print(f"loader: python fallback ({reason})", flush=True)
+        self.loader_kind = "python"
         return TrainLoader(self.ds, self.cfg, **kw)
 
     def _dummy_batch(self, b: int = 2):
@@ -230,12 +237,15 @@ class Trainer:
     # -- checkpoint --------------------------------------------------------
 
     def save(self, step: int):
+        # gather BEFORE the process gate: with TP/FSDP-sharded state on a
+        # multi-host mesh this is a collective all hosts must enter
+        payload = {"params": self.state["params"],
+                   "opt_state": self.state["opt_state"]}
+        if "ema_params" in self.state:
+            payload["ema_params"] = self.state["ema_params"]
+        payload = ckpt_lib.gather_for_save(payload)
         if jax.process_index() != 0:
             return
-        payload = {"params": jax.device_get(self.state["params"]),
-                   "opt_state": jax.device_get(self.state["opt_state"])}
-        if "ema_params" in self.state:
-            payload["ema_params"] = jax.device_get(self.state["ema_params"])
         ckpt_lib.save_checkpoint(self.logs_folder, step, payload,
                                  keep=self.cfg.train.keep_ckpts)
 

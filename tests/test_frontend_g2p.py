@@ -23,6 +23,55 @@ def test_en_g2p_with_cmudict(monkeypatch):
     assert min(t_ids) >= 7  # EN tone offset
 
 
+def test_en_lts_plausible_arpa():
+    """OOV words produce plausible ARPA with stress (reference: g2p_en
+    fallback, english.py:103-116)."""
+    from diff_vits_tpu.text.english_lts import letter_to_sound
+    from diff_vits_tpu.text.symbols import en_symbols
+
+    for w, expect in [
+        ("quick", ["K", "W", "IH1", "K"]),
+        ("knight", ["N", "AY1", "T"]),
+        ("hello", ["HH", "EH1", "L", "OW0"]),
+        ("world", ["W", "ER1", "L", "D"]),
+    ]:
+        assert letter_to_sound(w) == expect, w
+    # every produced phone maps into the EN symbol inventory
+    for w in ("flubber", "zorblax", "github", "pytorch", "xylophone"):
+        phones = letter_to_sound(w)
+        assert phones, w
+        stresses = [p[-1] for p in phones if p[-1] in "012"]
+        assert "1" in stresses, (w, phones)  # exactly one primary stress
+        assert stresses.count("1") == 1, (w, phones)
+        for p in phones:
+            base = p.rstrip("012").lower()
+            base = "V" if base == "v" else base
+            assert base in en_symbols, (w, p)
+
+
+def test_en_g2p_oov_no_unk():
+    """OOV words no longer collapse to UNK (VERDICT.md missing #3)."""
+    import diff_vits_tpu.text.frontend as fe
+
+    phones, tones, word2ph = fe.en_g2p("zorblax flubber")
+    assert "UNK" not in phones
+    assert len(phones) == len(tones) == sum(word2ph)
+    # frontends must emit symbols the model vocabulary knows
+    ids, t_ids, langs = fe.cleaned_text_to_sequence(phones, tones, "EN")
+    assert len(ids) == len(phones)
+
+
+def test_cmudict_no_reference_path():
+    """The runtime CMUdict search must not reach into /root/reference
+    (VERDICT.md weak #7 / next-round #9)."""
+    import inspect
+
+    import diff_vits_tpu.text.frontend as fe
+
+    src = inspect.getsource(fe._load_cmudict)
+    assert "/root/reference" not in src
+
+
 def test_tone_sandhi_rules():
     from diff_vits_tpu.text.tone_sandhi import ToneSandhi
     ts = ToneSandhi()

@@ -26,6 +26,100 @@ def test_istft_matches_torch():
     np.testing.assert_allclose(rec_t, audio, atol=1e-4)  # sanity round-trip
 
 
+def _torch_vocos_forward(sd, mel_np, dim=512, n_layers=8, n_fft=1024,
+                         hop=256):
+    """Reference torch Vocos forward (VocosBackbone + ISTFTHead), written
+    from the published charactr/vocos architecture the reference loads at
+    model3.py:1195-1203/1293: embed Conv1d(k7,p3) -> LayerNorm ->
+    ConvNeXt x8 (dwconv k7 groups=dim -> LN -> pwconv1 -> GELU -> pwconv2
+    -> gamma scale, residual) -> final LN -> Linear(n_fft+2) ->
+    exp-mag/phase -> torch.istft(center=True)."""
+    import torch
+    import torch.nn.functional as F
+
+    x = torch.from_numpy(mel_np).transpose(1, 2)  # [B, C, T]
+    x = F.conv1d(x, sd["backbone.embed.weight"], sd["backbone.embed.bias"],
+                 padding=3)
+    x = x.transpose(1, 2)
+    x = F.layer_norm(x, (dim,), sd["backbone.norm.weight"],
+                     sd["backbone.norm.bias"], 1e-6)
+    x = x.transpose(1, 2)
+    for i in range(n_layers):
+        blk = f"backbone.convnext.{i}"
+        res = x
+        h = F.conv1d(x, sd[f"{blk}.dwconv.weight"], sd[f"{blk}.dwconv.bias"],
+                     padding=3, groups=dim)
+        h = h.transpose(1, 2)
+        h = F.layer_norm(h, (dim,), sd[f"{blk}.norm.weight"],
+                         sd[f"{blk}.norm.bias"], 1e-6)
+        h = F.linear(h, sd[f"{blk}.pwconv1.weight"], sd[f"{blk}.pwconv1.bias"])
+        h = F.gelu(h)
+        h = F.linear(h, sd[f"{blk}.pwconv2.weight"], sd[f"{blk}.pwconv2.bias"])
+        h = sd[f"{blk}.gamma"] * h
+        x = res + h.transpose(1, 2)
+    x = x.transpose(1, 2)
+    x = F.layer_norm(x, (dim,), sd["backbone.final_layer_norm.weight"],
+                     sd["backbone.final_layer_norm.bias"], 1e-6)
+    x = F.linear(x, sd["head.out.weight"], sd["head.out.bias"])
+    x = x.transpose(1, 2)
+    mag, p = x.chunk(2, dim=1)
+    mag = torch.exp(mag).clip(max=1e2)
+    spec = torch.complex(mag * torch.cos(p), mag * torch.sin(p))
+    audio = torch.istft(spec, n_fft, hop, n_fft, torch.hann_window(n_fft),
+                        center=True)
+    return audio.numpy()
+
+
+def test_vocos_waveform_parity_vs_torch():
+    """Full ConvNeXt+ISTFT chain vs the torch architecture with transplanted
+    random weights (closes the BASELINE 'waveform allclose' gate without
+    network access to the published checkpoint — VERDICT.md missing #4)."""
+    import torch
+
+    from diff_vits_tpu.models.vocoder import convert_torch_vocos
+
+    torch.manual_seed(0)
+    dim, inter, n_layers, n_mels, n_fft = 512, 1536, 8, 100, 1024
+    sd = {
+        "backbone.embed.weight": torch.randn(dim, n_mels, 7) * 0.05,
+        "backbone.embed.bias": torch.randn(dim) * 0.02,
+        "backbone.norm.weight": 1 + torch.randn(dim) * 0.02,
+        "backbone.norm.bias": torch.randn(dim) * 0.02,
+        "backbone.final_layer_norm.weight": 1 + torch.randn(dim) * 0.02,
+        "backbone.final_layer_norm.bias": torch.randn(dim) * 0.02,
+        "head.out.weight": torch.randn(n_fft + 2, dim) * 0.02,
+        "head.out.bias": torch.randn(n_fft + 2) * 0.02,
+    }
+    for i in range(n_layers):
+        blk = f"backbone.convnext.{i}"
+        sd.update({
+            f"{blk}.dwconv.weight": torch.randn(dim, 1, 7) * 0.05,
+            f"{blk}.dwconv.bias": torch.randn(dim) * 0.02,
+            f"{blk}.norm.weight": 1 + torch.randn(dim) * 0.02,
+            f"{blk}.norm.bias": torch.randn(dim) * 0.02,
+            f"{blk}.pwconv1.weight": torch.randn(inter, dim) * 0.02,
+            f"{blk}.pwconv1.bias": torch.randn(inter) * 0.02,
+            f"{blk}.pwconv2.weight": torch.randn(dim, inter) * 0.02,
+            f"{blk}.pwconv2.bias": torch.randn(dim) * 0.02,
+            f"{blk}.gamma": torch.full((dim,), 1.0 / 8)
+            + torch.randn(dim) * 0.01,
+        })
+
+    rng = np.random.default_rng(1)
+    mel = rng.normal(size=(2, 24, n_mels)).astype(np.float32)
+
+    want = _torch_vocos_forward(sd, mel)
+
+    params = convert_torch_vocos(sd)
+    model = Vocos(n_mels=n_mels)
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(mel)))
+
+    assert got.shape == want.shape
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-3 * max(scale, 1.0),
+                               rtol=1e-3)
+
+
 def test_vocos_shapes():
     model = Vocos(n_mels=100)
     mel = jnp.zeros((1, 50, 100), jnp.float32)
