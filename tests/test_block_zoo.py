@@ -23,6 +23,9 @@ from tests.conftest import add_reference_to_path, reference_available
 
 from diff_vits_tpu.nn import unet1d_blocks as Z
 
+# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 B, T, S = 2, 24, 7

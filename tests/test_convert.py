@@ -24,6 +24,9 @@ from diff_vits_tpu.utils import convert  # noqa: E402
 from diff_vits_tpu.utils.transplant import (  # noqa: E402
     diff_vits_params_from_config)
 
+# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def test_convert_cli_round_trip(tmp_path, monkeypatch):
     import json

@@ -13,6 +13,9 @@ from diff_vits_tpu.core.config import VitsConfig
 from diff_vits_tpu.models.vits import VITS
 from diff_vits_tpu.text.symbols import symbols
 
+# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _cfg(dp):
     return VitsConfig(inter_channels=8, hidden_channels=16,

@@ -34,6 +34,9 @@ from diff_vits_tpu.core.config import (  # noqa: E402
 from diff_vits_tpu.models.diff_vits import DiffVits, synthesize  # noqa: E402
 from diff_vits_tpu.utils import transplant as tp  # noqa: E402
 
+# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 torch.manual_seed(0)
 
 

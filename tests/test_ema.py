@@ -11,6 +11,9 @@ from diff_vits_tpu.models.diff_vits import DiffVits
 from diff_vits_tpu.text.symbols import symbols
 from diff_vits_tpu.train.trainer import make_optimizer, make_train_step
 
+# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.slow
 def test_ema_tracks_params():

@@ -7,6 +7,9 @@ import pytest
 
 from diff_vits_tpu.nn import unet1d as U
 
+# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _data(b=2, t=50, ci=64, te=128, seed=0):
     rng = np.random.default_rng(seed)

@@ -12,6 +12,9 @@ import jax.numpy as jnp
 
 from diff_vits_tpu.nn import unet1d as U
 
+# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("t,s,c,heads", [(37, 23, 64, 8), (64, 24, 32, 4)])
 def test_fused_block_matches_unfused(t, s, c, heads):

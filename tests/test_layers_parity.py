@@ -21,6 +21,9 @@ from diff_vits_tpu.nn import layers as L  # noqa: E402
 from diff_vits_tpu.nn import flows as Fl  # noqa: E402
 from diff_vits_tpu.utils import transplant as tp  # noqa: E402
 
+# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 torch.manual_seed(0)
 
 

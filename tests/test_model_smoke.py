@@ -1,10 +1,15 @@
 """End-to-end smoke: tiny DiffVits training loss + gradients + synthesize,
 plus the driver entry points (single-chip fn and 8-device dry run)."""
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 import __graft_entry__ as ge
+
+# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 def test_training_loss_and_grads():

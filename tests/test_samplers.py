@@ -19,6 +19,9 @@ from diff_vits_tpu.diffusion.noise_schedule import NoiseScheduleVP  # noqa: E402
 from diff_vits_tpu.diffusion.dpm_solver import sample_dpmpp  # noqa: E402
 from diff_vits_tpu.diffusion.uni_pc import sample_unipc  # noqa: E402
 
+# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _betas():
     return np.asarray(GaussianDiffusion.create(1000).betas)

@@ -16,6 +16,9 @@ from jax.experimental import mesh_utils
 from diff_vits_tpu.parallel import activations
 from diff_vits_tpu.parallel import mesh as mesh_lib
 
+# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh_dsm():

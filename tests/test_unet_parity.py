@@ -15,6 +15,9 @@ from diff_vits_tpu.nn.unet1d import UNet1DConditionModel  # noqa: E402
 from diff_vits_tpu.nn.embeddings import TextTimeEmbedding  # noqa: E402
 from diff_vits_tpu.utils import transplant as tp  # noqa: E402
 
+# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 torch.manual_seed(0)
 
 

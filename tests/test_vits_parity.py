@@ -26,6 +26,9 @@ from diff_vits_tpu.models.vits import VITS as JVITS  # noqa: E402
 from diff_vits_tpu.models.diffusion_encoder import DiffusionEncoder  # noqa: E402
 from diff_vits_tpu.utils import transplant as tp  # noqa: E402
 
+# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not slow')
+pytestmark = pytest.mark.slow
+
 torch.manual_seed(0)
 
 
