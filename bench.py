@@ -440,6 +440,7 @@ def main_mfu(batches=(8, 32, 64, 128)):
                      "tflops_per_step": round(flops / 1e12, 3),
                      "frames_per_s": round(b * t_y / dt, 1),
                      "mfu": round(mfu, 4)})
+        print(f"# mfu b={b}: {rows[-1]}", file=sys.stderr, flush=True)
         if best is None or mfu > best["mfu"]:
             best = rows[-1]
         del state, batch, compiled

@@ -12,7 +12,20 @@ import numpy as np
 
 
 def install():
+    import importlib
+
     def mod(name, **attrs):
+        # never shadow a real install: stubbing e.g. accelerate (present in
+        # this image) breaks transformers' lazy imports for unrelated tests.
+        # monotonic_align is exempt — the reference's copy is importable once
+        # /root/reference is on sys.path but needs numba; the stub backed by
+        # our native kernel must win.
+        if name not in sys.modules and name != "monotonic_align":
+            try:
+                return sys.modules.setdefault(
+                    name, importlib.import_module(name))
+            except ImportError:
+                pass
         m = types.ModuleType(name)
         for k, v in attrs.items():
             setattr(m, k, v)
