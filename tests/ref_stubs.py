@@ -14,22 +14,34 @@ import numpy as np
 def install():
     import importlib
 
+    # Modules where the stub must always win, even over a real install:
+    #  - monotonic_align: the reference's copy is importable once
+    #    /root/reference is on sys.path but needs numba; the stub backed by
+    #    our native kernel must provide maximum_path.
+    #  - vocos: a real install would make the reference's
+    #    Vocos.from_pretrained (model3.py:1293) hit the network.
+    FORCE_STUB = ("monotonic_align", "vocos")
+
     def mod(name, **attrs):
-        # never shadow a real install: stubbing e.g. accelerate (present in
-        # this image) breaks transformers' lazy imports for unrelated tests.
-        # monotonic_align is exempt — the reference's copy is importable once
-        # /root/reference is on sys.path but needs numba; the stub backed by
-        # our native kernel must win.
-        if name not in sys.modules and name != "monotonic_align":
+        # never shadow a real install of import-time-only deps: stubbing
+        # e.g. accelerate (present in this image) breaks transformers' lazy
+        # imports for unrelated tests. FORCE_STUB modules are exempt.
+        if name not in sys.modules and name not in FORCE_STUB:
             try:
                 return sys.modules.setdefault(
                     name, importlib.import_module(name))
-            except ImportError:
+            except Exception:
+                # broken-but-present packages (e.g. an ABI-mismatched
+                # torchaudio) raise OSError/RuntimeError, not ImportError;
+                # fall through to the stub either way.
                 pass
         m = types.ModuleType(name)
         for k, v in attrs.items():
             setattr(m, k, v)
-        sys.modules.setdefault(name, m)
+        if name in FORCE_STUB:
+            sys.modules[name] = m
+        else:
+            sys.modules.setdefault(name, m)
         return sys.modules[name]
 
     class _Dummy:
