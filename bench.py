@@ -20,6 +20,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def warm_fetch(out):
+    """Force real execution of a dispatched computation before timing.
+
+    On this box the TPU sits behind a tunnel ("axon") that defers the
+    server-side executable build until a result is first *materialized*:
+    ``block_until_ready`` on a freshly compiled program can return before
+    anything ran, and subsequent timings then measure dispatch only
+    (measured: a chained 8192^3 matmul "ran" at 289x chip peak until the
+    first fetch; afterwards the same slope method reports 97.7% of peak).
+    Fetching one element of every output leaf makes all later
+    ``block_until_ready`` calls honest.
+    """
+    for leaf in jax.tree_util.tree_leaves(out):
+        if isinstance(leaf, jax.Array):
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
 def main():
     from diff_vits_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -62,9 +79,9 @@ def main():
             sample_method="unipc", max_len=t_y)
         return mel, lengths
 
-    # warmup / compile
+    # warmup / compile (fetch forces the deferred server-side build+run)
     mel, lengths = run(params, key)
-    jax.block_until_ready(mel)
+    warm_fetch((mel, lengths))
 
     def pipelined(n, tag):
         """n async dispatches, one sync at the end: total = RTT + n*t_dev."""
@@ -151,7 +168,7 @@ def main_train(batch_size: int = 8):
     step_fn = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
 
     state, metrics = step_fn(state, batch)  # compile + 1 step
-    jax.block_until_ready(metrics["loss/all"])
+    warm_fetch(metrics["loss/all"])
 
     def pipelined(n):
         nonlocal state
@@ -239,7 +256,7 @@ def main_scaling(per_chip_batch: int = 8):
         state = jax.device_put(state, state_sh)
         batch = {k: jax.device_put(v, data_sh) for k, v in batch.items()}
         state, metrics = step_fn(state, batch)
-        jax.block_until_ready(metrics["loss/all"])
+        warm_fetch(metrics["loss/all"])
         iters = 5
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -314,7 +331,7 @@ def main_trainloop(batch_size: int = 32, steps: int = 30):
         for _ in range(3):
             trainer.state, metrics = trainer.train_step(
                 trainer.state, next(batches))
-        jax.block_until_ready(metrics["loss/all"])
+        warm_fetch(metrics["loss/all"])
 
         t0 = time.perf_counter()
         for _ in range(steps):
@@ -366,10 +383,11 @@ def _flops_of(compiled) -> float:
 
 
 def main_mfu(batches=(8, 32, 64, 128)):
-    """Model FLOP utilization of the jitted train step across a batch sweep
-    (VERDICT.md next-round #2): FLOPs from XLA's cost model on the compiled
-    executable, MFU = FLOPs/step_time / chip peak. Finds the knee where the
-    chip goes FLOP-bound."""
+    """Model FLOP utilization of the jitted train step across a batch (and
+    optionally mel-length: ``64x800``) sweep (VERDICT.md next-round #2):
+    FLOPs from XLA's cost model on the compiled executable,
+    MFU = FLOPs/step_time / chip peak. Finds the knee where the chip goes
+    FLOP-bound."""
     from diff_vits_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
     from diff_vits_tpu.core.config import Config
@@ -383,11 +401,11 @@ def main_mfu(batches=(8, 32, 64, 128)):
     peak = _peak_flops_per_s()
 
     t_x = cfg.data.max_text_len * 2 + 1
-    t_y = cfg.data.max_mel_len
-    s = t_y * 2 // 3 + 1
+    t_y0 = cfg.data.max_mel_len
     c = cfg.data.n_mel_channels
 
-    def make_batch(b):
+    def make_batch(b, t_y):
+        s = t_y * 2 // 3 + 1
         rng = np.random.default_rng(0)
         return {
             "text": jnp.asarray(rng.integers(1, 100, (b, t_x)), jnp.int32),
@@ -400,7 +418,7 @@ def main_mfu(batches=(8, 32, 64, 128)):
             "refer_lengths": jnp.full(b, s, jnp.int32),
         }
 
-    batch0 = make_batch(2)
+    batch0 = make_batch(2, t_y0)
     key = jax.random.PRNGKey(0)
     init = jax.jit(lambda k: model.init(
         {"params": k, "dropout": k}, batch0["text"], batch0["text_lengths"],
@@ -411,8 +429,10 @@ def main_mfu(batches=(8, 32, 64, 128)):
 
     rows = []
     best = None
-    for b in batches:
-        batch = make_batch(b)
+    for spec in batches:
+        b, _, ty = str(spec).partition("x")
+        b, t_y = int(b), int(ty) if ty else t_y0
+        batch = make_batch(b, t_y)
         state = {"params": params, "opt_state": tx.init(params),
                  "step": jnp.asarray(0, jnp.int32), "rng": key}
         step_fn = jax.jit(make_train_step(model, tx, cfg))
@@ -420,7 +440,7 @@ def main_mfu(batches=(8, 32, 64, 128)):
             compiled = step_fn.lower(state, batch).compile()
             flops = _flops_of(compiled)
             state, metrics = compiled(state, batch)  # warmup
-            jax.block_until_ready(metrics["loss/all"])
+            warm_fetch(metrics["loss/all"])
 
             def pipelined(n):
                 nonlocal state
@@ -433,14 +453,14 @@ def main_mfu(batches=(8, 32, 64, 128)):
             t1, t2 = pipelined(3), pipelined(13)
             dt = max((t2 - t1) / 10, 1e-9)
         except Exception as e:  # OOM at large batch: record and stop
-            rows.append({"batch": b, "error": str(e)[:120]})
+            rows.append({"batch": b, "mel_len": t_y, "error": str(e)[:120]})
             break
         mfu = flops / dt / peak
-        rows.append({"batch": b, "step_time_s": round(dt, 4),
+        rows.append({"batch": b, "mel_len": t_y, "step_time_s": round(dt, 4),
                      "tflops_per_step": round(flops / 1e12, 3),
                      "frames_per_s": round(b * t_y / dt, 1),
                      "mfu": round(mfu, 4)})
-        print(f"# mfu b={b}: {rows[-1]}", file=sys.stderr, flush=True)
+        print(f"# mfu b={b} ty={t_y}: {rows[-1]}", file=sys.stderr, flush=True)
         if best is None or mfu > best["mfu"]:
             best = rows[-1]
         del state, batch, compiled
@@ -455,16 +475,26 @@ def main_mfu(batches=(8, 32, 64, 128)):
             model, {"params": p}, text, jnp.full((1,), 128, jnp.int32),
             refer, jnp.full((1,), 240, jnp.int32),
             jnp.zeros((1, 128), jnp.int32), jnp.zeros((1, 128), jnp.int32),
-            key=k, sampling_steps=30, sample_method="unipc", max_len=t_y))
+            key=k, sampling_steps=30, sample_method="unipc", max_len=t_y0))
         compiled = syn.lower(params, key).compile()
         fl = _flops_of(compiled)
         out = compiled(params, key)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for i in range(10):
-            out = compiled(params, jax.random.fold_in(key, i))
-        jax.block_until_ready(out)
-        dt_i = (time.perf_counter() - t0) / 10
+        warm_fetch(out)
+        # precompute + materialize the keys: a fold_in dispatched inside the
+        # timing loop serializes each call on this box's tunnel
+        keys = [jax.random.fold_in(key, i) for i in range(26)]
+        jax.block_until_ready(keys)
+
+        def pipe(n):
+            t0 = time.perf_counter()
+            o = None
+            for i in range(n):
+                o = compiled(params, keys[i])
+            jax.block_until_ready(o)
+            return time.perf_counter() - t0
+
+        t1, t2 = pipe(5), pipe(25)
+        dt_i = max((t2 - t1) / 20, 1e-9)
         infer_row = {"tflops_per_call": round(fl / 1e12, 3),
                      "call_time_s": round(dt_i, 4),
                      "mfu": round(fl / dt_i / peak, 4)}
@@ -488,7 +518,7 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "scaling":
         main_scaling(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
     elif len(sys.argv) > 1 and sys.argv[1] == "mfu":
-        bs = tuple(int(x) for x in sys.argv[2:]) or (8, 32, 64, 128)
+        bs = tuple(sys.argv[2:]) or (8, 32, 64, 128)
         main_mfu(bs)
     elif len(sys.argv) > 1 and sys.argv[1] == "trainloop":
         main_trainloop(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
