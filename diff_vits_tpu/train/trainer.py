@@ -65,6 +65,23 @@ def clip_grad_value(grads, clip_value, norm_type: float = 2.0):
     return grads, total
 
 
+def dropout_key(rng, impl: str):
+    """Derive the per-step dropout PRNG key.
+
+    ``impl='rbg'`` re-wraps the derived key for the TPU hardware RNG:
+    threefry dropout masks cost ~hundreds of VPU int-ops per random bit
+    (measured 618 GF/step of the b=32 training forward's 1.9 TF — 32%);
+    rbg generates them at memory speed. Only the dropout stream changes —
+    model-semantics noise stays on the caller's threefry key.
+    """
+    k = jax.random.fold_in(rng, 1)
+    if impl == "rbg":
+        data = jax.random.key_data(k)  # [2] uint32
+        k = jax.random.wrap_key_data(
+            jnp.concatenate([data, data]), impl="rbg")
+    return k
+
+
 def make_train_step(model: DiffVits, tx: optax.GradientTransformation,
                     cfg: Config):
     """Build the jitted SPMD train step.
@@ -79,7 +96,8 @@ def make_train_step(model: DiffVits, tx: optax.GradientTransformation,
             batch["spec"], batch["spec_lengths"], batch["refer"],
             batch["refer_lengths"], batch["tone"], batch["language"],
             rng=rng, mas_noise_scale=mas_noise_scale, deterministic=False,
-            rngs={"dropout": jax.random.fold_in(rng, 1)})
+            rngs={"dropout": dropout_key(
+                rng, cfg.train.dropout_rng_impl)})
         return loss, metrics
 
     accum = max(1, cfg.train.gradient_accumulate_every)
