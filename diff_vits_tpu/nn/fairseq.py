@@ -192,16 +192,25 @@ class EncSALayer(nn.Module):
         def split_heads(t_):
             return t_.reshape(b, t, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        qh = split_heads(q) * head_dim ** -0.5
+        qh = split_heads(q)
         kh, vh = split_heads(k), split_heads(v)
-        scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh)
-        # key padding: -inf on padded keys (fairseq masked_fill -inf)
-        pad = (keep_mask[:, None, None, :, 0] == 0)
-        scores = jnp.where(pad, -jnp.inf, scores)
-        p = jax.nn.softmax(scores, axis=-1)
-        p = nn.Dropout(self.attention_dropout,
-                       deterministic=deterministic)(p)
-        out = jnp.einsum("bhts,bhsd->bhtd", p, vh)
+        from diff_vits_tpu.ops import flash_attention as FLA
+        if self.attention_dropout == 0.0 and \
+                FLA.flash_ok(qh.shape, kh.shape):
+            # registry code 8 sets attention_dropout 0 (operations.py:960),
+            # so the TPU flash kernel is math-identical here
+            out = FLA.sdpa(qh, kh, vh, keep_mask[:, :, 0] > 0,
+                           sm_scale=head_dim ** -0.5)
+        else:
+            scores = jnp.einsum("bhtd,bhsd->bhts",
+                                qh * head_dim ** -0.5, kh)
+            # key padding: -inf on padded keys (fairseq masked_fill -inf)
+            pad = (keep_mask[:, None, None, :, 0] == 0)
+            scores = jnp.where(pad, -jnp.inf, scores)
+            p = jax.nn.softmax(scores, axis=-1)
+            p = nn.Dropout(self.attention_dropout,
+                           deterministic=deterministic)(p)
+            out = jnp.einsum("bhts,bhsd->bhtd", p, vh)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
         out = nn.Dense(c, use_bias=False, dtype=self.dtype,
                        name="out_proj")(out)

@@ -36,17 +36,24 @@ class CrossAttention(nn.Module):
 
     q from hidden states, k/v from context (or hidden states when
     ``context is None``); additive bias mask [B, 1, L] broadcast over heads.
+    On TPU the score/softmax/PV core routes through the Pallas flash
+    kernel (fwd + bwd) via ``ops.flash_attention.sdpa`` — the einsum path
+    materializes [B, H, T, S] scores in HBM four times per site;
+    ``use_flash`` / DIFF_VITS_FLASH_ATTENTION env overrides.
     """
     query_dim: int
     heads: int
     dim_head: int
     cross_attention_dim: Optional[int] = None
     dropout: float = 0.0
+    use_flash: object = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context=None, attention_bias=None, *,
                  deterministic: bool = True):
+        from diff_vits_tpu.ops import flash_attention as FLA
+
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
@@ -60,12 +67,20 @@ class CrossAttention(nn.Module):
             return t_.reshape(b, -1, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
         qh, kh, vh = split(q), split(k), split(v)
-        scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh) * self.dim_head ** -0.5
-        if attention_bias is not None:
-            # [B, 1, S] additive bias (0 keep / -10000 discard)
-            scores = scores + attention_bias[:, None, :, :].astype(scores.dtype)
-        p = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhts,bhsd->bhtd", p, vh)
+        if FLA.flash_ok(qh.shape, kh.shape, self.use_flash):
+            out = FLA.sdpa(qh, kh, vh,
+                           FLA.bias_to_keep_mask(attention_bias),
+                           sm_scale=self.dim_head ** -0.5,
+                           use_flash=self.use_flash)
+        else:
+            scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh) \
+                * self.dim_head ** -0.5
+            if attention_bias is not None:
+                # [B, 1, S] additive bias (0 keep / -10000 discard)
+                scores = scores + attention_bias[:, None, :, :].astype(
+                    scores.dtype)
+            p = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhts,bhsd->bhtd", p, vh)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
         out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout, deterministic=deterministic)(out)
