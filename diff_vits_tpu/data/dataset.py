@@ -179,6 +179,7 @@ class TrainLoader:
             rng.shuffle(order)
             order = order[self.host_id::self.num_hosts]
             buf: List = []
+            n_yielded = 0
             for idx in order:
                 ex = self.ds.load(idx)
                 if ex is None:
@@ -192,6 +193,17 @@ class TrainLoader:
                 if len(buf) == self.batch_size:
                     yield self._collate(buf)
                     buf = []
+                    n_yielded += 1
+            if n_yielded == 0:
+                # every utterance filtered (too short / unreadable): spin
+                # forever silently otherwise
+                raise ValueError(
+                    f"epoch {epoch} produced no batches: "
+                    f"{len(order)} candidate utterances on host "
+                    f"{self.host_id}/{self.num_hosts}, all filtered "
+                    f"(< data.min_mel_len={self.cfg.data.min_mel_len} "
+                    f"frames or unreadable), or fewer than batch_size="
+                    f"{self.batch_size} survived")
             epoch += 1
 
     def _collate(self, items) -> Batch:

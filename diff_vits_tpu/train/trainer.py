@@ -154,6 +154,13 @@ class Trainer:
         mesh_lib.initialize_distributed()
         self.mesh = mesh_lib.make_mesh(cfg.train.mesh_shape,
                                        cfg.train.mesh_axes)
+        n_data = self.mesh.shape.get("data", 1)
+        if cfg.train.train_batch_size % max(1, n_data):
+            raise ValueError(
+                f"train.train_batch_size={cfg.train.train_batch_size} must "
+                f"be divisible by the mesh 'data' axis ({n_data} of "
+                f"{jax.device_count()} devices) — the global batch shards "
+                "over that axis")
         dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" \
             else jnp.float32
         self.model = DiffVits(cfg, n_vocab=len(symbols), dtype=dtype)
@@ -373,7 +380,26 @@ class Trainer:
         batches = self._prefetch(iter(self.loader))
         t0 = time.time()
         step = int(self.state["step"])
-        while step < num_steps:
+
+        # preemption handling (SURVEY.md §5.3 — the reference has none):
+        # TPU VMs get SIGTERM ahead of eviction; finish the in-flight step,
+        # checkpoint, and exit cleanly so auto-resume continues the run
+        import signal
+        preempted = {"flag": False}
+
+        def _on_term(signum, frame):
+            preempted["flag"] = True
+            print(f"signal {signum}: checkpointing at the next step "
+                  "boundary", flush=True)
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_term)
+            except ValueError:  # non-main thread (tests)
+                pass
+
+        while step < num_steps and not preempted["flag"]:
             batch = next(batches)
             try:
                 self.state, metrics = self.train_step(self.state, batch)
@@ -419,9 +445,15 @@ class Trainer:
                     self.eval_sample(step, writer)
                 except Exception as e:  # never kill training on eval
                     print(f"eval_sample failed: {e}", flush=True)
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
         if step % self.cfg.train.save_and_sample_every != 0:
-            self.save(step)  # final checkpoint at loop exit
-        print("training complete")
+            self.save(step)  # final checkpoint at loop exit (or preemption)
+        if preempted["flag"]:
+            print(f"preempted: checkpointed at step {step}; rerun to "
+                  "auto-resume", flush=True)
+        else:
+            print("training complete")
 
     def eval_sample(self, step: int, writer=None, sampling_steps: int = 30):
         """Periodic eval synthesis (model3.py:1417-1447): sample one
