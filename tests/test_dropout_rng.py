@@ -49,6 +49,7 @@ def test_dropout_key_impls():
                                   np.asarray(jax.random.key_data(kr2)))
 
 
+@pytest.mark.slow  # two full train-step XLA compiles (~2-4 min each on CPU)
 @pytest.mark.parametrize("impl", ["rbg", "threefry"])
 def test_train_step_runs_with_impl(impl):
     cfg = _tiny(impl)

@@ -52,6 +52,7 @@ def test_read_manifest(tmp_path):
         read_manifest(str(tmp_path / "bad.tsv"))
 
 
+@pytest.mark.slow  # two sampler compiles (one per text bucket)
 def test_batch_synthesizer_buckets_and_order(tmp_path, monkeypatch):
     """Mixed-length manifest crosses buckets and batch chunks; outputs come
     back in manifest order with per-utterance lengths."""
