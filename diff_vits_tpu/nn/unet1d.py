@@ -154,24 +154,23 @@ class BasicTransformerBlock(nn.Module):
     moe_top_k: int = 2
     dtype: jnp.dtype = jnp.float32
 
-    def _fused_enabled(self, deterministic, attention_bias):
+    def _fused_enabled(self, deterministic, attention_bias, batch):
         if not deterministic or attention_bias is not None \
                 or self.moe_experts:
             return False
         if self.num_heads * self.head_dim != self.dim:
             return False
-        import jax as _jax
-        from diff_vits_tpu.ops import fused_gate
-        # fused transformer alone loses to XLA (15.9 vs 14.5 ms), but
-        # combined with the fused resnet it wins (12.85 vs 14.0 ms) —
-        # measured on-chip, so both default on together on TPU
+        from diff_vits_tpu.ops import fused_default_for_batch, fused_gate
+        # measured with the resnet kernel as a pair: 3.1x win on the b=1
+        # latency path, a loss by b=32 — batch-adaptive default
+        # (ops.fused_default_for_batch); env/use_fused still force
         return fused_gate("DIFF_VITS_FUSED_TRANSFORMER", self.use_fused,
-                          default=_jax.default_backend() == "tpu")
+                          default=fused_default_for_batch(batch))
 
     @nn.compact
     def __call__(self, x, context=None, attention_bias=None,
                  context_bias=None, *, deterministic: bool = True):
-        if self._fused_enabled(deterministic, attention_bias):
+        if self._fused_enabled(deterministic, attention_bias, x.shape[0]):
             from diff_vits_tpu.ops import fused_transformer as FT
             cdt = self.dtype
 
@@ -395,20 +394,20 @@ class ResnetBlock1D(nn.Module):
     use_fused: object = "auto"
     dtype: jnp.dtype = jnp.float32
 
-    def _fused_enabled(self, deterministic: bool) -> bool:
+    def _fused_enabled(self, deterministic: bool, batch: int) -> bool:
         if not deterministic or self.time_embedding_norm != "scale_shift":
             return False
         if self.in_channels % self.groups or self.out_channels % self.groups:
             return False
-        import jax as _jax
-        from diff_vits_tpu.ops import fused_gate
-        # measured faster than XLA on TPU at production shapes
+        from diff_vits_tpu.ops import fused_default_for_batch, fused_gate
+        # measured faster than XLA at serving batches, slower at b=32 —
+        # batch-adaptive default (ops.fused_default_for_batch)
         return fused_gate("DIFF_VITS_FUSED_RESNET", self.use_fused,
-                          default=_jax.default_backend() == "tpu")
+                          default=fused_default_for_batch(batch))
 
     @nn.compact
     def __call__(self, x, temb, *, deterministic: bool = True):
-        if self._fused_enabled(deterministic):
+        if self._fused_enabled(deterministic, x.shape[0]):
             from diff_vits_tpu.ops import fused_resnet as FR
             cdt = self.dtype
             g1s, g1b = _LayerNormParams(name="norm1")(self.in_channels)

