@@ -30,11 +30,14 @@ def fused_default_for_batch(batch: int) -> bool:
 
     Honest on-chip A/B (v5e, fetch-warmed harness): the fused
     resnet+transformer route is a 3.1x win on the latency path (b=1
-    30-step sampler: 13.1 vs 40.7 ms) but loses at large batch (b=32
-    denoiser forward: 15.4 vs 10.6 ms) — the single-program-per-batch-
-    element grid stops paying once the batch keeps the MXU busy anyway.
-    ``DIFF_VITS_FUSED_MAX_BATCH`` moves the crossover (default 8; b=8
-    measures 3.19 vs 3.94 ms — still a 19% fused win).
+    30-step sampler: 13.1 vs 40.7 ms), a 19% win on a standalone denoiser
+    forward at b=8 (3.19 vs 3.94 ms), and still ~3% ahead **end-to-end**
+    at b=32 (full sampler 264.5 vs 272.1 ms — a standalone denoiser call
+    at b=32 measures *slower* fused, 15.4 vs 10.6 ms, but that
+    microbenchmark re-encodes the prompt per call, which the production
+    sampler hoists). Default: fused on TPU up to batch 32 — the largest
+    batch measured end-to-end; ``DIFF_VITS_FUSED_MAX_BATCH`` moves the
+    cutoff for bigger-batch deployments.
     """
     import os
 
@@ -42,7 +45,7 @@ def fused_default_for_batch(batch: int) -> bool:
     if jax.default_backend() != "tpu":
         return False
     try:
-        limit = int(os.environ.get("DIFF_VITS_FUSED_MAX_BATCH", "8"))
+        limit = int(os.environ.get("DIFF_VITS_FUSED_MAX_BATCH", "32"))
     except ValueError:
-        limit = 8
+        limit = 32
     return batch <= limit
