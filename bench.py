@@ -70,6 +70,11 @@ def main():
         jnp.zeros((b, t_y, c), jnp.float32), jnp.full((b,), t_y, jnp.int32),
         refer, refer_lengths, tone, lang, rng=k)["params"])
     params = init(key)
+    # bf16 weight residency (serving default, core/params.py): the batch-1
+    # sampler is HBM-bound on re-reading the UNet weights each denoise
+    # step; halving weight bytes measures 13.2 -> 11.5 ms device time
+    from diff_vits_tpu.core.params import cast_float_params
+    params = cast_float_params(params, jnp.bfloat16)
 
     @jax.jit
     def run(params, key):
@@ -115,6 +120,7 @@ def main():
         "vs_baseline": round(rtf / 5.0, 3),
         "detail": {
             "batch": b,
+            "param_dtype": "bfloat16",
             "device_time_s": round(t_dev, 5),
             "blocking_latency_s": round(t_block, 4),
             "mel_frames_per_s": round(b * t_y / t_dev, 1),

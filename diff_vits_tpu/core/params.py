@@ -1,0 +1,31 @@
+"""Parameter-residency casts for serving.
+
+At small serving batch the sampler is HBM-bound on *weights*: every one of
+the ~31 UniPC denoise calls re-reads the full UNet parameter set from HBM
+(the activations are tiny by comparison). Holding the parameters in
+bfloat16 halves those bytes; measured on a v5e chip this cuts the batch-1
+30-step synthesize from 13.2 ms to 11.5 ms device time (~13%) with mel
+output statistically unchanged (std 0.6270 vs 0.6276 on the bench input).
+
+The reference has no analogue (it serves fp32 torch modules,
+tts_infer.py:144-147); this is a TPU-serving optimization. Training keeps
+fp32 parameters (optimizer state quality) and casts activations only.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cast_float_params(params, dtype=jnp.bfloat16):
+    """Cast every floating-point leaf of a param pytree to ``dtype``.
+
+    Non-float leaves (int embeddings indices, step counters) pass through
+    untouched. Use for inference-only param residency; do not feed the
+    result back into an fp32 optimizer.
+    """
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree_util.tree_map(cast, params)

@@ -81,11 +81,17 @@ class BatchSynthesizer:
                  noise_scale: float = 0.667, length_scale: float = 1.0,
                  text_buckets: Optional[Sequence[int]] = None,
                  refer_frames: Optional[int] = None,
-                 max_len: Optional[int] = None):
+                 max_len: Optional[int] = None,
+                 dtype=jnp.bfloat16):
         self.cfg = cfg
-        self.params = params
         self.batch_size = batch_size
-        self.model = DiffVits(cfg, n_vocab=len(symbols))
+        self.model = DiffVits(cfg, n_vocab=len(symbols), dtype=dtype)
+        if dtype == jnp.bfloat16:
+            # bf16 HBM weight residency: halves the per-denoise-step
+            # parameter reads the sampler is bound on (core/params.py)
+            from diff_vits_tpu.core.params import cast_float_params
+            params = cast_float_params(params, dtype)
+        self.params = params
         t_max = cfg.data.max_text_len * (2 if cfg.data.add_blank else 1) + 1
         self.text_buckets = tuple(text_buckets) if text_buckets else tuple(
             b for b in (64, 128, 256, t_max) if b <= t_max) or (t_max,)
@@ -175,6 +181,10 @@ def main(argv=None):
     p.add_argument("--out_dir", type=str, default="output")
     p.add_argument("--text_buckets", type=str, default=None,
                    help="comma-separated, e.g. 64,128,256")
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="serving precision (bf16 weight residency; "
+                        "float32 for exact-parity runs)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config_path) if os.path.exists(args.config_path) \
@@ -190,7 +200,9 @@ def main(argv=None):
                            sample_method=args.sample_method,
                            noise_scale=args.noise_scale,
                            length_scale=args.length_scale,
-                           text_buckets=buckets)
+                           text_buckets=buckets,
+                           dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+                           else jnp.float32)
     os.makedirs(args.out_dir, exist_ok=True)
     for utt_id, mel in syn.synthesize_all(rows, seed=args.seed):
         path = os.path.join(args.out_dir, f"{utt_id}.mel.npy")

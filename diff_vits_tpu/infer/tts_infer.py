@@ -70,6 +70,13 @@ def main():
                              "The reference CLI parses speed controls but "
                              "ignores them (tts_infer.py:112-129,161); "
                              "this one works")
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"],
+                        help="serving precision: bfloat16 computes on the "
+                             "MXU's native type and holds the checkpoint "
+                             "in bf16 HBM residency (~13%% faster at "
+                             "batch 1, see core/params.py); float32 for "
+                             "exact reference-parity runs")
     parser.add_argument("--out_dir", type=str, default="output")
     parser.add_argument("--vocoder", type=str, default="auto",
                         choices=["auto", "jax", "torch", "none"],
@@ -83,10 +90,14 @@ def main():
 
     cfg = load_config(args.config_path) if os.path.exists(args.config_path) \
         else Config()
-    model = DiffVits(cfg, n_vocab=len(symbols))
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = DiffVits(cfg, n_vocab=len(symbols), dtype=dtype)
 
     _, saved = ckpt_lib.load_checkpoint(args.model_path)
     params = {"params": saved["params"]}
+    if dtype == jnp.bfloat16:
+        from diff_vits_tpu.core.params import cast_float_params
+        params = cast_float_params(params, dtype)
 
     phone, tone, lang = preprocess_text(args.text, args.lang,
                                         cfg.data.add_blank)
@@ -103,7 +114,7 @@ def main():
         jnp.asarray(refer, jnp.float32), jnp.asarray(refer_lengths),
         jnp.asarray(tone), jnp.asarray(lang),
         key=jax.random.PRNGKey(args.seed))
-    mel = np.asarray(mel[0, :int(out_lengths[0])])
+    mel = np.asarray(mel[0, :int(out_lengths[0])], np.float32)
 
     os.makedirs(args.out_dir, exist_ok=True)
     base = os.path.join(
