@@ -82,6 +82,8 @@ class BatchSynthesizer:
                  text_buckets: Optional[Sequence[int]] = None,
                  refer_frames: Optional[int] = None,
                  max_len: Optional[int] = None,
+                 mel_buckets: Optional[Sequence[int]] = None,
+                 vocoder=None,
                  dtype=jnp.bfloat16):
         self.cfg = cfg
         self.batch_size = batch_size
@@ -96,11 +98,31 @@ class BatchSynthesizer:
         self.text_buckets = tuple(text_buckets) if text_buckets else tuple(
             b for b in (64, 128, 256, t_max) if b <= t_max) or (t_max,)
         self.refer_frames = refer_frames or cfg.data.max_mel_len * 2 // 3 + 1
-        self.max_len = max_len or cfg.data.max_mel_len
-        self._run = jax.jit(functools.partial(
-            synthesize, self.model, sampling_steps=steps,
-            sample_method=sample_method, noise_scale=noise_scale,
-            length_scale=length_scale, max_len=self.max_len))
+        # mel-length buckets: the reference generates ceil(sum w) frames
+        # unbounded (model3.py:842-847); under jit the mel buffer is static,
+        # so we first run the cheap duration pass, then place each utterance
+        # in the smallest bucket holding its predicted length. ``max_len``
+        # forces a single legacy bucket instead.
+        m = cfg.data.max_mel_len
+        if max_len is not None:
+            self.mel_buckets = (max_len,)
+        else:
+            self.mel_buckets = tuple(sorted(mel_buckets)) if mel_buckets \
+                else (m, 2 * m, 4 * m)
+        self.vocoder = vocoder  # None or (module, params)
+        self._runs: Dict[int, callable] = {}
+        for t_y in self.mel_buckets:
+            self._runs[t_y] = jax.jit(functools.partial(
+                synthesize, self.model, sampling_steps=steps,
+                sample_method=sample_method, noise_scale=noise_scale,
+                length_scale=length_scale, max_len=t_y))
+        self._predict = jax.jit(functools.partial(
+            self.model.apply, length_scale=length_scale,
+            method=DiffVits.predict_lengths))
+        if vocoder is not None:
+            voc, _ = vocoder
+            self._decode = jax.jit(
+                lambda vp, m: voc.apply({"params": vp}, m))
 
     def _prep_text(self, text: str, lang: str):
         from diff_vits_tpu.infer.tts_infer import preprocess_text
@@ -116,9 +138,49 @@ class BatchSynthesizer:
             return mel[:s].astype(np.float32)
         return pad_to(mel.astype(np.float32), s)
 
+    def _batch_arrays(self, chunk, t_bucket):
+        """Pad a chunk of items to one static [batch_size, t_bucket] batch
+        (batch dim padded with repeats of the last row)."""
+        full = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
+        text = np.stack([pad_to(c[2], t_bucket) for c in full])
+        tone = np.stack([pad_to(c[3], t_bucket) for c in full])
+        lang = np.stack([pad_to(c[4], t_bucket) for c in full])
+        refer = np.stack([c[5] for c in full])
+        text_lengths = np.array([len(c[2]) for c in full], np.int32)
+        refer_lengths = np.full(self.batch_size, self.refer_frames, np.int32)
+        return (jnp.asarray(text, jnp.int32), jnp.asarray(text_lengths),
+                jnp.asarray(refer, jnp.float32), jnp.asarray(refer_lengths),
+                jnp.asarray(tone, jnp.int32), jnp.asarray(lang, jnp.int32))
+
+    def _predict_mel_buckets(self, by_text_bucket, seed: int
+                             ) -> Dict[int, int]:
+        """Run the duration pass per text-bucket batch; map item index ->
+        mel bucket. With one mel bucket the pass is skipped entirely."""
+        if len(self.mel_buckets) == 1:
+            return {}
+        assign: Dict[int, int] = {}
+        top = self.mel_buckets[-1]
+        key = jax.random.PRNGKey(seed)
+        for t_bucket, group in sorted(by_text_bucket.items()):
+            for off in range(0, len(group), self.batch_size):
+                chunk = group[off:off + self.batch_size]
+                args = self._batch_arrays(chunk, t_bucket)
+                lens = np.asarray(self._predict(
+                    self.params, *args,
+                    noise_key=jax.random.fold_in(key, t_bucket + off)))
+                for j, c in enumerate(chunk):
+                    n = int(lens[j])
+                    if n > top:
+                        print(f"warning: {c[1]} predicted {n} frames > "
+                              f"largest mel bucket {top}; clamping",
+                              flush=True)
+                    assign[c[0]] = pick_bucket(min(n, top), self.mel_buckets)
+        return assign
+
     def synthesize_all(self, rows: List[Dict[str, str]], *, seed: int = 0
-                       ) -> List[Tuple[str, np.ndarray]]:
-        """Returns [(utt_id, mel [T, n_mels])] in manifest order."""
+                       ) -> List[Tuple]:
+        """Returns [(utt_id, mel [T, n_mels])] in manifest order — or
+        [(utt_id, mel, wav [T*hop])] when a vocoder is configured."""
         items = []
         refer_cache: Dict[str, np.ndarray] = {}
         for i, r in enumerate(rows):
@@ -128,39 +190,48 @@ class BatchSynthesizer:
             items.append((i, r["utt_id"], phone, tone, lang,
                           refer_cache[r["refer"]]))
 
-        # group by text bucket, then chunk into fixed-size batches
-        by_bucket: Dict[int, list] = {}
+        # group by text bucket for the duration pass
+        by_text: Dict[int, list] = {}
         for it in items:
             b = pick_bucket(len(it[2]), self.text_buckets)
-            by_bucket.setdefault(b, []).append(it)
+            by_text.setdefault(b, []).append(it)
+        mel_assign = self._predict_mel_buckets(by_text, seed)
 
-        out: List[Optional[Tuple[str, np.ndarray]]] = [None] * len(items)
-        for t_bucket, group in sorted(by_bucket.items()):
+        # regroup by (text bucket, mel bucket): each pair is one static
+        # compiled shape; long utterances land in bigger mel buckets instead
+        # of truncating at max_mel_len (VERDICT r3 missing #3)
+        by_shape: Dict[Tuple[int, int], list] = {}
+        for t_bucket, group in by_text.items():
+            for it in group:
+                m_bucket = mel_assign.get(it[0], self.mel_buckets[0])
+                by_shape.setdefault((t_bucket, m_bucket), []).append(it)
+
+        out: List[Optional[Tuple]] = [None] * len(items)
+        for (t_bucket, m_bucket), group in sorted(by_shape.items()):
             for off in range(0, len(group), self.batch_size):
                 chunk = group[off:off + self.batch_size]
-                n = len(chunk)
-                # pad the batch dim with repeats of the last row: the
-                # bucket's [batch_size, T] shape stays static
-                full = chunk + [chunk[-1]] * (self.batch_size - n)
-                text = np.stack([pad_to(c[2], t_bucket) for c in full])
-                tone = np.stack([pad_to(c[3], t_bucket) for c in full])
-                lang = np.stack([pad_to(c[4], t_bucket) for c in full])
-                refer = np.stack([c[5] for c in full])
-                text_lengths = np.array([len(c[2]) for c in full], np.int32)
-                refer_lengths = np.full(self.batch_size, self.refer_frames,
-                                        np.int32)
-                mel, out_lengths = self._run(
-                    self.params, jnp.asarray(text, jnp.int32),
-                    jnp.asarray(text_lengths),
-                    jnp.asarray(refer, jnp.float32),
-                    jnp.asarray(refer_lengths), jnp.asarray(tone, jnp.int32),
-                    jnp.asarray(lang, jnp.int32),
-                    key=jax.random.fold_in(jax.random.PRNGKey(seed),
-                                           t_bucket * 100003 + off))
+                args = self._batch_arrays(chunk, t_bucket)
+                mel, out_lengths = self._runs[m_bucket](
+                    self.params, *args,
+                    key=jax.random.fold_in(
+                        jax.random.PRNGKey(seed),
+                        (t_bucket * 131 + m_bucket) * 100003 + off))
+                wav = None
+                if self.vocoder is not None:
+                    # batched decode at the bucket's static shape; trimmed
+                    # per utterance below (model3.py:1195-1203)
+                    wav = np.asarray(self._decode(self.vocoder[1], mel),
+                                     np.float32)
                 mel = np.asarray(mel, np.float32)
                 lens = np.asarray(out_lengths)
+                hop = self.cfg.data.hop_length
                 for j, c in enumerate(chunk):
-                    out[c[0]] = (c[1], mel[j, :int(lens[j])])
+                    n = int(lens[j])
+                    if wav is None:
+                        out[c[0]] = (c[1], mel[j, :n])
+                    else:
+                        out[c[0]] = (c[1], mel[j, :n],
+                                     wav[j, :min(n * hop, wav.shape[1])])
         return [o for o in out if o is not None]
 
 
@@ -181,6 +252,14 @@ def main(argv=None):
     p.add_argument("--out_dir", type=str, default="output")
     p.add_argument("--text_buckets", type=str, default=None,
                    help="comma-separated, e.g. 64,128,256")
+    p.add_argument("--mel_buckets", type=str, default=None,
+                   help="comma-separated mel-frame buckets, e.g. "
+                        "400,800,1600 (default: max_mel_len x {1,2,4}); "
+                        "long utterances pick a bigger bucket from a cheap "
+                        "duration pass instead of truncating")
+    p.add_argument("--vocoder_ckpt", type=str, default=None,
+                   help="Vocos weights (torch .bin/.pt converted on the "
+                        "fly, or our .ckpt); enables .wav output")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="serving precision (bf16 weight residency; "
@@ -193,6 +272,12 @@ def main(argv=None):
     params = {"params": saved["params"]}
     buckets = tuple(int(x) for x in args.text_buckets.split(",")) \
         if args.text_buckets else None
+    mel_buckets = tuple(int(x) for x in args.mel_buckets.split(",")) \
+        if args.mel_buckets else None
+    vocoder = None
+    if args.vocoder_ckpt:
+        from diff_vits_tpu.models.vocoder import load_vocoder
+        vocoder = load_vocoder(cfg, args.vocoder_ckpt)
 
     rows = read_manifest(args.manifest)
     syn = BatchSynthesizer(cfg, params, batch_size=args.batch_size,
@@ -201,13 +286,21 @@ def main(argv=None):
                            noise_scale=args.noise_scale,
                            length_scale=args.length_scale,
                            text_buckets=buckets,
+                           mel_buckets=mel_buckets,
+                           vocoder=vocoder,
                            dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                            else jnp.float32)
     os.makedirs(args.out_dir, exist_ok=True)
-    for utt_id, mel in syn.synthesize_all(rows, seed=args.seed):
+    for row in syn.synthesize_all(rows, seed=args.seed):
+        utt_id, mel = row[0], row[1]
         path = os.path.join(args.out_dir, f"{utt_id}.mel.npy")
         np.save(path, mel)
         print(f"{utt_id}: {mel.shape} -> {path}", flush=True)
+        if len(row) > 2:
+            from diff_vits_tpu.data import audio as audio_lib
+            wpath = os.path.join(args.out_dir, f"{utt_id}.wav")
+            audio_lib.write_wav(wpath, row[2], cfg.data.sampling_rate)
+            print(f"{utt_id}: wav -> {wpath}", flush=True)
 
 
 if __name__ == "__main__":

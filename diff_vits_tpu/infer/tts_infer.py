@@ -126,26 +126,11 @@ def main():
         return
     if args.vocoder in ("auto", "jax") and (args.vocoder_ckpt
                                             or args.vocoder == "jax"):
-        from diff_vits_tpu.models.vocoder import Vocos, convert_torch_vocos
-        voc = Vocos(n_mels=cfg.data.n_mel_channels,
-                    n_fft=cfg.data.window_size,
-                    hop_length=cfg.data.hop_length)
-        if args.vocoder_ckpt:
-            if args.vocoder_ckpt.endswith((".bin", ".pt", ".pth")):
-                import torch
-                sd = torch.load(args.vocoder_ckpt, map_location="cpu",
-                                weights_only=True)
-                sd = {k: v.numpy() for k, v in sd.items()}
-                vparams = convert_torch_vocos(sd)
-            else:
-                _, vsaved = ckpt_lib.load_checkpoint(args.vocoder_ckpt)
-                vparams = vsaved["params"] if "params" in vsaved else vsaved
-        else:
+        from diff_vits_tpu.models.vocoder import load_vocoder
+        if not args.vocoder_ckpt:
             print("warning: no --vocoder_ckpt; using random-init vocoder "
                   "(audio will be noise)")
-            vparams = voc.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 8, cfg.data.n_mel_channels),
-                                         jnp.float32))["params"]
+        voc, vparams = load_vocoder(cfg, args.vocoder_ckpt)
         audio = jax.jit(lambda m: voc.apply({"params": vparams}, m))(
             jnp.asarray(mel[None]))
         audio_lib.write_wav(base + ".wav", np.asarray(audio[0], np.float32),

@@ -73,6 +73,16 @@ class DiffVits(nn.Module):
                                length_scale=length_scale, max_len=max_len,
                                deterministic=deterministic)
 
+    def predict_lengths(self, text, text_lengths, refer, refer_lengths,
+                        tone, language, *, noise_key, length_scale=1.0,
+                        deterministic: bool = True):
+        """Predicted mel frame counts [B] (duration pass only); lets the
+        serving driver pick a mel-length bucket before synthesis."""
+        return self.vits.predict_lengths(
+            text, text_lengths, refer, refer_lengths, tone, language,
+            noise_key=noise_key, length_scale=length_scale,
+            deterministic=deterministic)
+
     # -- training forward ---------------------------------------------------
 
     def __call__(self, text, text_lengths, spec, spec_lengths, refer,

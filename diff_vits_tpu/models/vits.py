@@ -165,14 +165,13 @@ class VITS(nn.Module):
         content = self.o_proj(z, y_lengths, g=g, deterministic=deterministic)
         return content, y_lengths, (l_length, loss_kl, loss_kl_ph)
 
-    def infer(self, x, x_lengths, y, y_lengths, tone, language, *,
-              noise_key, noise_scale=0.667, length_scale=1.0,
-              max_len: Optional[int] = None, deterministic: bool = True):
-        """Inference. Parity: model3.py:817-860.
-
-        ``max_len`` bounds the generated mel length (static under jit);
-        returns (content [B, Ty, C], out_lengths [B]).
-        """
+    def _predict_durations(self, x, x_lengths, y, y_lengths, tone, language,
+                           *, noise_key, length_scale=1.0,
+                           deterministic: bool = True):
+        """Shared text->duration path of inference (model3.py:831-842):
+        speaker embedding, text encoding, duration prediction, ceil.
+        Returns (g, x_h, m_p, logs_p, x_mask, w_ceil, out_lengths) with
+        ``out_lengths`` the *unclamped* ceil(sum w) frame counts."""
         c = self.cfg
         g = self.ref_enc(y)[:, None, :]
         x_h, m_p, logs_p, x_mask = self.enc_p(
@@ -191,6 +190,35 @@ class VITS(nn.Module):
         w_ceil = jnp.ceil(w)[..., 0]  # [B, Tx]
         out_lengths = jnp.maximum(
             jnp.sum(w_ceil, axis=-1), 1.0).astype(jnp.int32)
+        return g, x_h, m_p, logs_p, x_mask, w_ceil, out_lengths
+
+    def predict_lengths(self, x, x_lengths, y, y_lengths, tone, language, *,
+                        noise_key, length_scale=1.0,
+                        deterministic: bool = True):
+        """Predicted output mel lengths [B] without generating content.
+
+        The reference derives ``y_lengths = ceil(sum w)`` inline with no cap
+        (model3.py:842-847); under jit the mel buffer must be static, so
+        serving uses this cheap pass to pick a mel-length bucket per
+        utterance *before* committing to a synthesis shape."""
+        return self._predict_durations(
+            x, x_lengths, y, y_lengths, tone, language, noise_key=noise_key,
+            length_scale=length_scale, deterministic=deterministic)[-1]
+
+    def infer(self, x, x_lengths, y, y_lengths, tone, language, *,
+              noise_key, noise_scale=0.667, length_scale=1.0,
+              max_len: Optional[int] = None, deterministic: bool = True):
+        """Inference. Parity: model3.py:817-860.
+
+        ``max_len`` bounds the generated mel length (static under jit);
+        returns (content [B, Ty, C], out_lengths [B]).
+        """
+        c = self.cfg
+        g, x_h, m_p, logs_p, x_mask, w_ceil, out_lengths = \
+            self._predict_durations(
+                x, x_lengths, y, y_lengths, tone, language,
+                noise_key=noise_key, length_scale=length_scale,
+                deterministic=deterministic)
         t_y = max_len if max_len is not None else x.shape[1] * 16
         out_lengths = jnp.minimum(out_lengths, t_y)
         y_mask = masking.sequence_mask(out_lengths, t_y).astype(

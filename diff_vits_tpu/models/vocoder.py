@@ -126,6 +126,37 @@ class Vocos(nn.Module):
                      self.n_fft, self.hop_length)
 
 
+def load_vocoder(cfg, ckpt_path: Optional[str] = None):
+    """Build a Vocos module + params for serving.
+
+    ``ckpt_path`` may be a torch state_dict (.bin/.pt/.pth — converted on
+    the fly, e.g. the published charactr/vocos-mel-24khz pytorch_model.bin)
+    or one of our checkpoints. With no path the vocoder is random-init
+    (audio will be noise; useful for pipeline tests only).
+    Returns (module, params).
+    """
+    voc = Vocos(n_mels=cfg.data.n_mel_channels,
+                n_fft=cfg.data.window_size,
+                hop_length=cfg.data.hop_length)
+    if ckpt_path:
+        if ckpt_path.endswith((".bin", ".pt", ".pth")):
+            import torch
+            sd = torch.load(ckpt_path, map_location="cpu",
+                            weights_only=True)
+            sd = {k: v.numpy() for k, v in sd.items()}
+            params = convert_torch_vocos(sd)
+        else:
+            from diff_vits_tpu.train import checkpoint as ckpt_lib
+            _, saved = ckpt_lib.load_checkpoint(ckpt_path)
+            params = saved["params"] if "params" in saved else saved
+    else:
+        params = voc.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 8, cfg.data.n_mel_channels),
+                      jnp.float32))["params"]
+    return voc, params
+
+
 def convert_torch_vocos(state_dict) -> dict:
     """Convert a torch Vocos (charactr/vocos-mel-24khz) state_dict into our
     linen params tree."""
