@@ -53,6 +53,15 @@ class TrainConfig:
     # model-semantics noise (posterior/MAS/diffusion) stays on threefry
     # either way.
     dropout_rng_impl: str = "rbg"
+    # Vocos weights for eval/serving waveform output (torch .bin/.pt
+    # converted on the fly, or one of our checkpoints). The reference
+    # Trainer always loads the published vocos (model3.py:1293); here the
+    # path is explicit and optional — eval logs mel-only without it.
+    vocoder_ckpt: Optional[str] = None
+    # Activation rematerialization for the train step: 'none', 'dots'
+    # (save matmul outputs, recompute elementwise chains — the HBM-bound
+    # step's bytes-for-FLOPs trade), or 'full'. Measured A/B in README.
+    remat_policy: str = "none"
 
 
 @dataclasses.dataclass(frozen=True)

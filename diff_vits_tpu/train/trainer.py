@@ -100,6 +100,20 @@ def make_train_step(model: DiffVits, tx: optax.GradientTransformation,
                 rng, cfg.train.dropout_rng_impl)})
         return loss, metrics
 
+    # rematerialization (jax.checkpoint): the b=32 production step is
+    # HBM-bound (bench.py mfu roofline), so trading recompute FLOPs for
+    # saved-activation bytes is the natural lever. 'dots' keeps matmul
+    # outputs and recomputes elementwise chains in the backward pass;
+    # 'full' saves only the inputs.
+    if cfg.train.remat_policy == "dots":
+        loss_fn = jax.checkpoint(
+            loss_fn, policy=jax.checkpoint_policies.checkpoint_dots)
+    elif cfg.train.remat_policy == "full":
+        loss_fn = jax.checkpoint(loss_fn)
+    elif cfg.train.remat_policy != "none":
+        raise ValueError(
+            f"unknown train.remat_policy {cfg.train.remat_policy!r}")
+
     accum = max(1, cfg.train.gradient_accumulate_every)
 
     def train_step(state, batch):
@@ -455,23 +469,41 @@ class Trainer:
         else:
             print("training complete")
 
+    def _eval_batch(self):
+        """One batch from the eval set (built once, cached). The reference
+        keeps a separate eval_dl over val_files (model3.py:1417); we build
+        an eval dataset from cfg.data.val_files (falling back to the
+        training set when it's the same path or empty)."""
+        if not hasattr(self, "_eval_loader"):
+            ds = self.ds
+            if self.cfg.data.val_files != self.cfg.data.training_files:
+                val_ds = TextMelDataset(self.cfg,
+                                        root=self.cfg.data.val_files)
+                if len(val_ds) > 0:
+                    ds = val_ds
+            # identical eval batch on every host (no host sharding): in
+            # SPMD all processes run the same computation and process 0
+            # writes artifacts
+            kw = dict(batch_size=1, seed=self.cfg.train.seed + 1)
+            try:
+                from diff_vits_tpu.data.native_loader import NativeTrainLoader
+                loader = (NativeTrainLoader(ds, self.cfg, **kw)
+                          if self.cfg.train.use_native_loader else None)
+                if not loader or len(loader) == 0:
+                    raise ValueError
+            except Exception:
+                loader = TrainLoader(ds, self.cfg, **kw)
+            self._eval_loader = loader
+        return self._host_batch(next(iter(self._eval_loader)))
+
     def eval_sample(self, step: int, writer=None, sampling_steps: int = 30):
         """Periodic eval synthesis (model3.py:1417-1447): sample one
-        utterance with the training prompt and log mel image + artifact."""
+        utterance with the training prompt and log mel image + artifact
+        (+ waveform via the Vocos port when train.vocoder_ckpt is set,
+        model3.py:1432-1447)."""
         from diff_vits_tpu.models.diff_vits import synthesize
 
-        # identical eval batch on every host (no host sharding): in SPMD all
-        # processes run the same computation and process 0 writes artifacts
-        kw = dict(batch_size=1, seed=self.cfg.train.seed + 1)
-        try:
-            from diff_vits_tpu.data.native_loader import NativeTrainLoader
-            loader = (NativeTrainLoader(self.ds, self.cfg, **kw)
-                      if self.cfg.train.use_native_loader else None)
-            if not loader or len(loader) == 0:
-                raise ValueError
-        except Exception:
-            loader = TrainLoader(self.ds, self.cfg, **kw)
-        batch = self._host_batch(next(iter(loader)))
+        batch = self._eval_batch()
         if not hasattr(self, "_eval_fn"):
             # jitted (and cached): eager synthesis would dispatch op-by-op
             self._eval_fn = jax.jit(functools.partial(
@@ -490,6 +522,22 @@ class Trainer:
         milestone = step // self.cfg.train.save_and_sample_every
         np.save(os.path.join(self.logs_folder,
                              f"sample-{milestone}.mel.npy"), mel_np)
+        wav = None
+        if self.cfg.train.vocoder_ckpt:
+            # waveform eval artifact (model3.py:1432-1447 writes
+            # sample-{milestone}.wav + TB audio every eval)
+            if not hasattr(self, "_vocoder"):
+                from diff_vits_tpu.models.vocoder import load_vocoder
+                voc, vparams = load_vocoder(self.cfg,
+                                            self.cfg.train.vocoder_ckpt)
+                self._vocoder = (
+                    jax.jit(lambda m: voc.apply({"params": vparams}, m)))
+            wav = np.asarray(self._vocoder(jnp.asarray(mel_np[None]))[0],
+                             np.float32)
+            from diff_vits_tpu.data.audio import write_wav
+            write_wav(os.path.join(self.logs_folder,
+                                   f"sample-{milestone}.wav"),
+                      wav, self.cfg.data.sampling_rate)
         if writer is not None:
             from diff_vits_tpu.utils.logging import plot_spectrogram_to_numpy
             writer.add_image("gen/mel",
@@ -498,3 +546,6 @@ class Trainer:
             gt = batch["spec"][0][:int(batch["spec_lengths"][0])]
             writer.add_image("gt/mel", plot_spectrogram_to_numpy(gt.T), step,
                              dataformats="HWC")
+            if wav is not None:
+                writer.add_audio("gen/audio", wav[None, :], step,
+                                 sample_rate=self.cfg.data.sampling_rate)
