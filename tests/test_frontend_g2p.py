@@ -49,6 +49,37 @@ def test_en_lts_plausible_arpa():
             assert base in en_symbols, (w, p)
 
 
+def test_en_lts_suffix_stress():
+    """Stress placement beyond position-0 (VERDICT r3 missing #4): the
+    derivational suffixes that systematically move English primary stress
+    must land it on the right syllable, not the first."""
+    from diff_vits_tpu.text.english_lts import letter_to_sound
+
+    def stress_index(phones):
+        vowels = [p for p in phones if p[-1] in "012"]
+        return next(i for i, p in enumerate(vowels) if p.endswith("1")), \
+            len(vowels)
+
+    # -tion: stress immediately before the suffix (cre-A-tion)
+    i, n = stress_index(letter_to_sound("blemation"))
+    assert i == n - 2, letter_to_sound("blemation")
+    # -ity: antepenultimate (flam-IL-ity)
+    i, n = stress_index(letter_to_sound("flamility"))
+    assert i == n - 3, letter_to_sound("flamility")
+    # -ee: final stress (trust-EE pattern on a nonce word)
+    i, n = stress_index(letter_to_sound("zorbee"))
+    assert i == n - 1, letter_to_sound("zorbee")
+    # -esque: final stress
+    i, n = stress_index(letter_to_sound("glorbesque"))
+    assert i == n - 1, letter_to_sound("glorbesque")
+    # underived word: default first-syllable stress survives
+    i, n = stress_index(letter_to_sound("flubber"))
+    assert i == 0
+    # short word where the suffix rule cannot fit keeps a valid stress
+    phones = letter_to_sound("ity")
+    assert sum(p.endswith("1") for p in phones) == 1
+
+
 def test_en_g2p_oov_no_unk():
     """OOV words no longer collapse to UNK (VERDICT.md missing #3)."""
     import diff_vits_tpu.text.frontend as fe
