@@ -37,7 +37,7 @@ def warm_fetch(out):
             np.asarray(jax.device_get(leaf.ravel()[:1]))
 
 
-def main():
+def main(b: int = 1, param_dtype="bfloat16", with_train: bool = True):
     from diff_vits_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
     from diff_vits_tpu.core.config import Config
@@ -46,8 +46,6 @@ def main():
 
     cfg = Config()  # reference production config values
     model = DiffVits(cfg, n_vocab=len(symbols), dtype=jnp.bfloat16)
-
-    b = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     t_x = 128          # ~ a sentence of phonemes (with blanks)
     t_y = 400          # generated mel frames cap (~4.27 s of audio)
     s = 240            # prompt frames (~2.6 s)
@@ -70,11 +68,13 @@ def main():
         jnp.zeros((b, t_y, c), jnp.float32), jnp.full((b,), t_y, jnp.int32),
         refer, refer_lengths, tone, lang, rng=k)["params"])
     params = init(key)
-    # bf16 weight residency (serving default, core/params.py): the batch-1
-    # sampler is HBM-bound on re-reading the UNet weights each denoise
-    # step; halving weight bytes measures 13.2 -> 11.5 ms device time
-    from diff_vits_tpu.core.params import cast_float_params
-    params = cast_float_params(params, jnp.bfloat16)
+    if param_dtype == "bfloat16":
+        # bf16 weight residency (serving default, core/params.py): the
+        # batch-1 sampler is HBM-bound on re-reading the UNet weights each
+        # denoise step; halving weight bytes cuts device time ~13% at b=1.
+        # Pass "fp32"/"float32" on the CLI for the fp32-resident baseline.
+        from diff_vits_tpu.core.params import cast_float_params
+        params = cast_float_params(params, jnp.bfloat16)
 
     @jax.jit
     def run(params, key):
@@ -113,21 +113,91 @@ def main():
 
     audio_secs = b * t_y * cfg.data.hop_length / cfg.data.sampling_rate
     rtf = audio_secs / t_dev
+    detail = {
+        "batch": b,
+        "param_dtype": param_dtype,
+        "device_time_s": round(t_dev, 5),
+        "blocking_latency_s": round(t_block, 4),
+        "mel_frames_per_s": round(b * t_y / t_dev, 1),
+        "denoise_steps_per_s": round(steps / t_dev, 2),
+        "audio_secs": audio_secs,
+    }
+    if with_train:
+        # VERDICT r3 #2: the driver artifact must carry the training numbers
+        # too, not just inference RTF — measure the b=32 production train
+        # step (time, MFU, achieved HBM bandwidth) in the same run.
+        try:
+            detail.update(_train_probe(model, cfg, batch_size=32))
+        except Exception as e:  # never lose the headline metric
+            detail["train_probe_error"] = str(e)[:160]
     print(json.dumps({
         "metric": "inference_rtf_unipc30",
         "value": round(rtf, 3),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 5.0, 3),
-        "detail": {
-            "batch": b,
-            "param_dtype": "bfloat16",
-            "device_time_s": round(t_dev, 5),
-            "blocking_latency_s": round(t_block, 4),
-            "mel_frames_per_s": round(b * t_y / t_dev, 1),
-            "denoise_steps_per_s": round(steps / t_dev, 2),
-            "audio_secs": audio_secs,
-        },
+        "detail": detail,
     }))
+
+
+def _train_probe(model, cfg, batch_size: int = 32) -> dict:
+    """Compile + time the production train step; return driver-artifact
+    fields {train_step_time_b32, train_mfu, train_achieved_hbm_gbps,
+    train_hbm_frac_of_peak} (VERDICT r3 next-round #1/#2)."""
+    from diff_vits_tpu.train.trainer import make_optimizer, make_train_step
+
+    tx = make_optimizer(cfg)
+    b = batch_size
+    t_x = cfg.data.max_text_len * 2 + 1
+    t_y = cfg.data.max_mel_len
+    s = t_y * 2 // 3 + 1
+    c = cfg.data.n_mel_channels
+    rng = np.random.default_rng(0)
+    batch = {
+        "text": jnp.asarray(rng.integers(1, 100, (b, t_x)), jnp.int32),
+        "tone": jnp.zeros((b, t_x), jnp.int32),
+        "language": jnp.zeros((b, t_x), jnp.int32),
+        "spec": jnp.asarray(rng.normal(size=(b, t_y, c)), jnp.float32),
+        "refer": jnp.asarray(rng.normal(size=(b, s, c)), jnp.float32),
+        "text_lengths": jnp.full(b, t_x, jnp.int32),
+        "spec_lengths": jnp.full(b, t_y, jnp.int32),
+        "refer_lengths": jnp.full(b, s, jnp.int32),
+    }
+    key = jax.random.PRNGKey(0)
+    init = jax.jit(lambda k: model.init(
+        {"params": k, "dropout": k}, batch["text"], batch["text_lengths"],
+        batch["spec"], batch["spec_lengths"], batch["refer"],
+        batch["refer_lengths"], batch["tone"], batch["language"],
+        rng=k)["params"])
+    params = init(key)
+    state = {"params": params, "opt_state": tx.init(params),
+             "step": jnp.asarray(0, jnp.int32), "rng": key}
+    # donate the state like the production Trainer step (in-place buffer
+    # reuse; without it XLA must double-buffer params + optimizer state)
+    step_fn = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
+    compiled = step_fn.lower(state, batch).compile()
+    flops, nbytes = _flops_of(compiled), _bytes_of(compiled)
+    state, metrics = compiled(state, batch)
+    warm_fetch(metrics["loss/all"])
+
+    def pipelined(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = compiled(state, batch)
+        jax.block_until_ready(m["loss/all"])
+        return time.perf_counter() - t0
+
+    t1, t2 = pipelined(3), pipelined(13)
+    dt = max((t2 - t1) / 10, 1e-9)
+    peak_fl, peak_bw = _peak_flops_per_s(), _peak_hbm_bytes_per_s()
+    return {
+        f"train_step_time_b{b}": round(dt, 4),
+        "train_steps_per_s": round(1 / dt, 3),
+        "train_mel_frames_per_s": round(b * t_y / dt, 1),
+        "train_mfu": round(flops / dt / peak_fl, 4),
+        "train_achieved_hbm_gbps": round(nbytes / dt / 1e9, 1),
+        "train_hbm_frac_of_peak": round(nbytes / dt / peak_bw, 4),
+    }
 
 
 def main_train(batch_size: int = 8):
@@ -225,7 +295,10 @@ def main_scaling(per_chip_batch: int = 8):
     tx = make_optimizer(cfg)
 
     def measure(n_dev):
-        mesh = mesh_lib.make_mesh((n_dev,))
+        # explicit submesh: make_mesh() always spans every device, but the
+        # baseline leg needs a genuine 1-device mesh
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
         b = per_chip_batch * n_dev
         t_x = cfg.data.max_text_len * 2 + 1
         t_y = cfg.data.max_mel_len
@@ -362,23 +435,84 @@ def main_trainloop(batch_size: int = 32, steps: int = 30):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def main_ab_remat(batch_size: int = 32):
+    """A/B the b=32 production train step across remat policies
+    (VERDICT r3 next-round #1: one honest optimization attempt at the
+    measured HBM bottleneck). Reports time, FLOPs, bytes, achieved GB/s
+    per policy."""
+    import dataclasses
+
+    from diff_vits_tpu.core.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from diff_vits_tpu.core.config import Config
+    from diff_vits_tpu.models.diff_vits import DiffVits
+    from diff_vits_tpu.text.symbols import symbols
+
+    peak_fl, peak_bw = _peak_flops_per_s(), _peak_hbm_bytes_per_s()
+    rows = {}
+    for policy in ("none", "dots", "full"):
+        cfg = Config()
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, remat_policy=policy))
+        model = DiffVits(cfg, n_vocab=len(symbols), dtype=jnp.bfloat16)
+        try:
+            r = _train_probe(model, cfg, batch_size=batch_size)
+        except Exception as e:
+            rows[policy] = {"error": str(e)[:160]}
+            continue
+        rows[policy] = r
+        print(f"# remat={policy}: {r}", file=sys.stderr, flush=True)
+    base = rows.get("none", {}).get(f"train_step_time_b{batch_size}")
+    best_p = min((p for p in rows if "error" not in rows[p]),
+                 key=lambda p: rows[p][f"train_step_time_b{batch_size}"],
+                 default=None)
+    speedup = (base / rows[best_p][f"train_step_time_b{batch_size}"]
+               if base and best_p else None)
+    print(json.dumps({
+        "metric": "remat_ab_best_speedup",
+        "value": round(speedup, 4) if speedup else 0.0,
+        "unit": f"x_vs_no_remat_b{batch_size}",
+        "vs_baseline": None,
+        "detail": {"rows": rows, "best_policy": best_p,
+                   "peak_tflops": round(peak_fl / 1e12, 1),
+                   "peak_hbm_gbps": round(peak_bw / 1e9, 1)},
+    }))
+
+
 _PEAK_BF16_TFLOPS = {
     # per-chip dense bf16 peak (public TPU specs)
     "v3": 123.0, "v4": 275.0, "v5 lite": 197.0, "v5e": 197.0,
     "v5litepod": 197.0, "v5p": 459.0, "v6e": 918.0, "v6 lite": 918.0,
 }
 
+_PEAK_HBM_GBPS = {
+    # per-chip HBM bandwidth (public TPU specs, GB/s)
+    "v3": 900.0, "v4": 1228.0, "v5 lite": 819.0, "v5e": 819.0,
+    "v5litepod": 819.0, "v5p": 2765.0, "v6e": 1640.0, "v6 lite": 1640.0,
+}
+
+
+def _lookup_peak(table, env_var, default):
+    import os
+    env = os.environ.get(env_var)
+    if env:
+        return float(env)
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return default
+
 
 def _peak_flops_per_s() -> float:
-    import os
-    env = os.environ.get("DIFF_VITS_PEAK_TFLOPS")
-    if env:
-        return float(env) * 1e12
-    kind = jax.devices()[0].device_kind.lower()
-    for k, v in _PEAK_BF16_TFLOPS.items():
-        if k in kind:
-            return v * 1e12
-    return 197.0e12  # BASELINE.md target hardware: v5e
+    # BASELINE.md target hardware default: v5e
+    return _lookup_peak(_PEAK_BF16_TFLOPS, "DIFF_VITS_PEAK_TFLOPS",
+                        197.0) * 1e12
+
+
+def _peak_hbm_bytes_per_s() -> float:
+    return _lookup_peak(_PEAK_HBM_GBPS, "DIFF_VITS_PEAK_HBM_GBPS",
+                        819.0) * 1e9
 
 
 def _flops_of(compiled) -> float:
@@ -388,12 +522,22 @@ def _flops_of(compiled) -> float:
     return float(ca.get("flops", 0.0))
 
 
+def _bytes_of(compiled) -> float:
+    """Total HBM bytes accessed per execution from XLA's cost model
+    (post-fusion operand+output traffic) — the roofline denominator."""
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("bytes accessed", 0.0))
+
+
 def main_mfu(batches=(8, 32, 64, 128)):
-    """Model FLOP utilization of the jitted train step across a batch (and
-    optionally mel-length: ``64x800``) sweep (VERDICT.md next-round #2):
-    FLOPs from XLA's cost model on the compiled executable,
-    MFU = FLOPs/step_time / chip peak. Finds the knee where the chip goes
-    FLOP-bound."""
+    """Roofline of the jitted train step across a batch (and optionally
+    mel-length: ``64x800``) sweep: FLOPs and bytes-accessed from XLA's cost
+    model on the compiled executable, MFU = FLOPs/step_time / chip FLOP
+    peak, achieved HBM GB/s vs chip bandwidth peak, and arithmetic
+    intensity vs the machine balance point. Answers *which* roof each
+    config is under (VERDICT r3 weak #1)."""
     from diff_vits_tpu.core.cache import enable_compilation_cache
     enable_compilation_cache()
     from diff_vits_tpu.core.config import Config
@@ -405,6 +549,8 @@ def main_mfu(batches=(8, 32, 64, 128)):
     model = DiffVits(cfg, n_vocab=len(symbols), dtype=jnp.bfloat16)
     tx = make_optimizer(cfg)
     peak = _peak_flops_per_s()
+    peak_bw = _peak_hbm_bytes_per_s()
+    balance = peak / peak_bw  # flops/byte where the two roofs cross
 
     t_x = cfg.data.max_text_len * 2 + 1
     t_y0 = cfg.data.max_mel_len
@@ -439,12 +585,17 @@ def main_mfu(batches=(8, 32, 64, 128)):
         b, _, ty = str(spec).partition("x")
         b, t_y = int(b), int(ty) if ty else t_y0
         batch = make_batch(b, t_y)
-        state = {"params": params, "opt_state": tx.init(params),
+        # fresh param copy per config: the donated step consumes its input
+        # buffers, and `params` must survive for the next sweep entry
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        state = {"params": p, "opt_state": tx.init(p),
                  "step": jnp.asarray(0, jnp.int32), "rng": key}
-        step_fn = jax.jit(make_train_step(model, tx, cfg))
+        # donated, matching the production Trainer step
+        step_fn = jax.jit(make_train_step(model, tx, cfg),
+                          donate_argnums=(0,))
         try:
             compiled = step_fn.lower(state, batch).compile()
-            flops = _flops_of(compiled)
+            flops, nbytes = _flops_of(compiled), _bytes_of(compiled)
             state, metrics = compiled(state, batch)  # warmup
             warm_fetch(metrics["loss/all"])
 
@@ -460,12 +611,22 @@ def main_mfu(batches=(8, 32, 64, 128)):
             dt = max((t2 - t1) / 10, 1e-9)
         except Exception as e:  # OOM at large batch: record and stop
             rows.append({"batch": b, "mel_len": t_y, "error": str(e)[:120]})
+            # free the failed config's buffers so the infer probe below
+            # doesn't inherit an exhausted backend (r4: b=128 OOM poisoned
+            # the b=1 infer row)
+            del state, batch
             break
         mfu = flops / dt / peak
+        ai = flops / max(nbytes, 1.0)
         rows.append({"batch": b, "mel_len": t_y, "step_time_s": round(dt, 4),
                      "tflops_per_step": round(flops / 1e12, 3),
+                     "gbytes_per_step": round(nbytes / 1e9, 3),
                      "frames_per_s": round(b * t_y / dt, 1),
-                     "mfu": round(mfu, 4)})
+                     "mfu": round(mfu, 4),
+                     "achieved_hbm_gbps": round(nbytes / dt / 1e9, 1),
+                     "hbm_frac_of_peak": round(nbytes / dt / peak_bw, 4),
+                     "arith_intensity": round(ai, 1),
+                     "bound": "memory" if ai < balance else "compute"})
         print(f"# mfu b={b} ty={t_y}: {rows[-1]}", file=sys.stderr, flush=True)
         if best is None or mfu > best["mfu"]:
             best = rows[-1]
@@ -483,7 +644,7 @@ def main_mfu(batches=(8, 32, 64, 128)):
             jnp.zeros((1, 128), jnp.int32), jnp.zeros((1, 128), jnp.int32),
             key=k, sampling_steps=30, sample_method="unipc", max_len=t_y0))
         compiled = syn.lower(params, key).compile()
-        fl = _flops_of(compiled)
+        fl, nb = _flops_of(compiled), _bytes_of(compiled)
         out = compiled(params, key)
         warm_fetch(out)
         # precompute + materialize the keys: a fold_in dispatched inside the
@@ -501,9 +662,15 @@ def main_mfu(batches=(8, 32, 64, 128)):
 
         t1, t2 = pipe(5), pipe(25)
         dt_i = max((t2 - t1) / 20, 1e-9)
+        ai_i = fl / max(nb, 1.0)
         infer_row = {"tflops_per_call": round(fl / 1e12, 3),
+                     "gbytes_per_call": round(nb / 1e9, 3),
                      "call_time_s": round(dt_i, 4),
-                     "mfu": round(fl / dt_i / peak, 4)}
+                     "mfu": round(fl / dt_i / peak, 4),
+                     "achieved_hbm_gbps": round(nb / dt_i / 1e9, 1),
+                     "hbm_frac_of_peak": round(nb / dt_i / peak_bw, 4),
+                     "arith_intensity": round(ai_i, 1),
+                     "bound": "memory" if ai_i < balance else "compute"}
     except Exception as e:
         infer_row = {"error": str(e)[:120]}
 
@@ -514,11 +681,20 @@ def main_mfu(batches=(8, 32, 64, 128)):
         "vs_baseline": None,  # the reference publishes no MFU (BASELINE.md)
         "detail": {"sweep": rows, "best": best,
                    "infer_unipc30_b1": infer_row,
+                   "peak_tflops": round(peak / 1e12, 1),
+                   "peak_hbm_gbps": round(peak_bw / 1e9, 1),
+                   "machine_balance_flops_per_byte": round(balance, 1),
                    "device_kind": jax.devices()[0].device_kind},
     }))
 
 
 if __name__ == "__main__":
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        # the box's sitecustomize freezes the axon TPU platform into
+        # jax.config at interpreter startup; honor an explicit env override
+        # (e.g. JAX_PLATFORMS=cpu for the virtual-mesh scaling run)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if len(sys.argv) > 1 and sys.argv[1] == "train":
         main_train(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
     elif len(sys.argv) > 1 and sys.argv[1] == "scaling":
@@ -528,5 +704,23 @@ if __name__ == "__main__":
         main_mfu(bs)
     elif len(sys.argv) > 1 and sys.argv[1] == "trainloop":
         main_trainloop(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
+    elif len(sys.argv) > 1 and sys.argv[1] == "ab_remat":
+        main_ab_remat(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
     else:
-        main()
+        # default / `infer` mode: [infer] [batch] [fp32|bf16] [notrain]
+        # e.g. `bench.py infer 8 fp32 notrain` times the fp32-resident
+        # batch-8 serving path without the train-step probe.
+        toks = sys.argv[1:]
+        if toks and toks[0] == "infer":
+            toks = toks[1:]
+        batch, dtype, with_train = 1, "bfloat16", True
+        for t in toks:
+            if t.isdigit():
+                batch = int(t)
+            elif t in ("fp32", "float32"):
+                dtype = "float32"
+            elif t in ("bf16", "bfloat16"):
+                dtype = "bfloat16"
+            elif t == "notrain":
+                with_train = False
+        main(batch, dtype, with_train)
