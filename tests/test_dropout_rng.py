@@ -50,6 +50,7 @@ def test_dropout_key_impls():
 
 
 @pytest.mark.slow  # two full train-step XLA compiles (~2-4 min each on CPU)
+@pytest.mark.golden  # 'golden' tier: ~6 min aggregate
 @pytest.mark.parametrize("impl", ["rbg", "threefry"])
 def test_train_step_runs_with_impl(impl):
     cfg = _tiny(impl)

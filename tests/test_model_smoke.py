@@ -8,8 +8,9 @@ import jax.numpy as jnp
 
 import __graft_entry__ as ge
 
-# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not slow')
-pytestmark = pytest.mark.slow
+# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not
+# slow'); also in the 'golden' tier — ~14 min of full-model CPU compiles
+pytestmark = [pytest.mark.slow, pytest.mark.golden]
 
 
 def test_training_loss_and_grads():
@@ -68,7 +69,7 @@ def test_bf16_param_residency_matches_fp32():
     batch = ge._tiny_batch()
     key = jax.random.PRNGKey(0)
 
-    def run(dtype, params=None):
+    def run(dtype, params=None, method="unipc"):
         model = DiffVits(cfg, n_vocab=len(symbols), dtype=dtype)
         if params is None:
             params = model.init(
@@ -82,18 +83,35 @@ def test_bf16_param_residency_matches_fp32():
             jnp.asarray(batch["text_lengths"]), jnp.asarray(batch["refer"]),
             jnp.asarray(batch["refer_lengths"]), jnp.asarray(batch["tone"]),
             jnp.asarray(batch["language"]), key=key, sampling_steps=4,
-            sample_method="unipc", max_len=64)
+            sample_method=method, max_len=64)
         return params, np.asarray(mel, np.float32), np.asarray(lengths)
 
     params, mel32, len32 = run(jnp.float32)
+    # intermediate rung (ADVICE r3): fp32-resident weights + bf16 compute.
+    # Localizes a regression — if this rung fails the kernel compute path
+    # dropped precision; if only the next rung fails, the weight cast did.
+    _, mel16c, len16c = run(jnp.bfloat16, params)
     _, mel16, len16 = run(jnp.bfloat16, cast_float_params(params))
 
-    assert np.isfinite(mel16).all()
-    assert (len16 == len32).all()
+    assert np.isfinite(mel16c).all() and np.isfinite(mel16).all()
+    assert (len16c == len32).all() and (len16 == len32).all()
     # same trajectory modulo bf16 rounding: high correlation, close stats.
-    # (0.9 bar: a random-init tiny model + 4 sampler steps amplifies bf16
-    # rounding far more than the trained production model, where the bench
-    # input's mel std matches to 1e-3 — measured 0.94 here.)
+    # (random-init tiny model + 4 sampler steps amplifies bf16 rounding far
+    # more than the trained production model, where the bench input's mel
+    # std matches to 1e-3 — measured corr 0.98 / 0.94 on the two rungs.)
+    corr_c = np.corrcoef(mel32.ravel(), mel16c.ravel())[0, 1]
+    assert corr_c > 0.95, corr_c
     corr = np.corrcoef(mel32.ravel(), mel16.ravel())[0, 1]
     assert corr > 0.9, corr
+    assert abs(mel16c.std() - mel32.std()) < 0.03 * max(mel32.std(), 1e-3)
     assert abs(mel16.std() - mel32.std()) < 0.05 * max(mel32.std(), 1e-3)
+
+    # second sampler (ADVICE r3): a precision regression confined to one
+    # solver's update math must not slip past a unipc-only gate
+    _, dmel32, dlen32 = run(jnp.float32, params, method="dpmsolver")
+    _, dmel16, dlen16 = run(jnp.bfloat16, cast_float_params(params),
+                            method="dpmsolver")
+    assert np.isfinite(dmel16).all() and (dlen16 == dlen32).all()
+    dcorr = np.corrcoef(dmel32.ravel(), dmel16.ravel())[0, 1]
+    assert dcorr > 0.9, dcorr
+    assert abs(dmel16.std() - dmel32.std()) < 0.05 * max(dmel32.std(), 1e-3)

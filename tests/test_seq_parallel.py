@@ -16,8 +16,9 @@ from jax.experimental import mesh_utils
 from diff_vits_tpu.parallel import activations
 from diff_vits_tpu.parallel import mesh as mesh_lib
 
-# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not slow')
-pytestmark = pytest.mark.slow
+# heavyweight: large XLA compiles / torch goldens (smoke tier: -m 'not
+# slow'); also in the 'golden' tier — ~5 min of sharded-step compiles
+pytestmark = [pytest.mark.slow, pytest.mark.golden]
 
 
 @pytest.fixture(scope="module")

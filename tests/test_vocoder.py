@@ -1,7 +1,20 @@
-"""Vocoder tests: ISTFT round-trip vs torch.istft, full model smoke."""
+"""Vocoder tests: ISTFT round-trip vs torch.istft, full model smoke.
+
+Verification status on this box (VERDICT r3 missing #1): the real ``vocos``
+package is NOT installed and no copy of the published
+charactr/vocos-mel-24khz checkpoint exists locally (zero egress), so the
+full-chain waveform parity below runs against a torch forward transcribed
+from the published architecture. The two gated tests at the bottom close
+the circularity wherever the real package / published weights ARE present:
+they import ``vocos`` itself (or load a local pytorch_model.bin via
+``DIFF_VITS_VOCOS_CKPT``) and compare our port's waveform output directly.
+"""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from diff_vits_tpu.models.vocoder import Vocos, istft
 
@@ -118,6 +131,73 @@ def test_vocos_waveform_parity_vs_torch():
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=1e-3 * max(scale, 1.0),
                                rtol=1e-3)
+
+
+def _require_real_vocos():
+    """The test stubs may install a fake 'vocos' module (ref_stubs); only a
+    package exposing the real pretrained API counts."""
+    vocos = pytest.importorskip("vocos")
+    # ref_stubs force-installs a bare ModuleType stub (no __file__, dummy
+    # Vocos without decode); only a real on-disk package counts
+    if (getattr(vocos, "__file__", None) is None
+            or not hasattr(getattr(vocos, "Vocos", None), "decode")):
+        pytest.skip("vocos import is a test stub, not the real package")
+    return vocos
+
+
+@pytest.mark.slow
+def test_vocos_parity_vs_real_package():
+    """Gated on the real ``vocos`` package (skips on this box): decode the
+    same mel through vocos.Vocos.from_pretrained('charactr/vocos-mel-24khz')
+    and through our port loaded from that model's state_dict — waveforms
+    must match. Target: /root/reference/model3.py:1293."""
+    import torch
+
+    from diff_vits_tpu.models.vocoder import convert_torch_vocos
+
+    vocos = _require_real_vocos()
+    try:
+        tv = vocos.Vocos.from_pretrained("charactr/vocos-mel-24khz")
+    except Exception as e:  # no network / no cached weights
+        pytest.skip(f"pretrained vocos unavailable: {e}")
+    sd = {k: v.detach().cpu() for k, v in tv.state_dict().items()}
+
+    rng = np.random.default_rng(0)
+    mel = rng.normal(size=(1, 32, 100)).astype(np.float32) - 1.0
+    with torch.no_grad():
+        want = tv.decode(torch.from_numpy(mel).transpose(1, 2)).numpy()
+
+    params = convert_torch_vocos({k: v.numpy() for k, v in sd.items()})
+    got = np.asarray(Vocos(n_mels=100).apply({"params": params},
+                                             jnp.asarray(mel)))
+    n = min(got.shape[-1], want.shape[-1])
+    scale = max(np.abs(want).max(), 1e-3)
+    np.testing.assert_allclose(got[..., :n], want[..., :n],
+                               atol=2e-3 * scale, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_vocos_published_state_dict_converts():
+    """Gated on a local copy of the published checkpoint
+    (DIFF_VITS_VOCOS_CKPT=/path/to/pytorch_model.bin; skips on this box):
+    the converter must consume the real state_dict and produce a usable
+    param tree whose decode output is finite and non-trivial."""
+    path = os.environ.get("DIFF_VITS_VOCOS_CKPT")
+    if not path or not os.path.exists(path):
+        pytest.skip("no local published vocos checkpoint "
+                    "(set DIFF_VITS_VOCOS_CKPT)")
+    import torch
+
+    from diff_vits_tpu.models.vocoder import convert_torch_vocos
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    params = convert_torch_vocos({k: v.numpy() for k, v in sd.items()})
+    assert "convnext_7" in params  # all 8 published blocks found
+    rng = np.random.default_rng(0)
+    mel = rng.normal(size=(1, 16, 100)).astype(np.float32) - 1.0
+    audio = np.asarray(Vocos(n_mels=100).apply({"params": params},
+                                               jnp.asarray(mel)))
+    assert np.isfinite(audio).all() and np.abs(audio).max() > 0
 
 
 def test_vocos_shapes():
