@@ -125,11 +125,18 @@ def main(b: int = 1, param_dtype="bfloat16", with_train: bool = True):
     if with_train:
         # VERDICT r3 #2: the driver artifact must carry the training numbers
         # too, not just inference RTF — measure the b=32 production train
-        # step (time, MFU, achieved HBM bandwidth) in the same run.
+        # step (time, MFU, achieved HBM bandwidth) and the end-to-end
+        # Trainer loop rate in the same run.
         try:
             detail.update(_train_probe(model, cfg, batch_size=32))
         except Exception as e:  # never lose the headline metric
             detail["train_probe_error"] = str(e)[:160]
+        try:
+            r = _trainloop_probe(batch_size=32, steps=15)
+            detail["trainloop_steps_per_s"] = r["steps_per_s"]
+            detail["trainloop_loader"] = r["loader"]
+        except Exception as e:
+            detail["trainloop_probe_error"] = str(e)[:160]
     print(json.dumps({
         "metric": "inference_rtf_unipc30",
         "value": round(rtf, 3),
@@ -360,10 +367,10 @@ def main_scaling(per_chip_batch: int = 8):
     }))
 
 
-def main_trainloop(batch_size: int = 32, steps: int = 30):
+def _trainloop_probe(batch_size: int = 32, steps: int = 30) -> dict:
     """End-to-end training-loop throughput at production batch: loader +
-    H2D + jitted step + metrics, through the real Trainer (VERDICT.md
-    next-round #6). Builds a synthetic preprocessed dataset on the fly."""
+    H2D + jitted step + metrics, through the real Trainer. Builds a
+    synthetic preprocessed dataset on the fly."""
     import os
     import shutil
     import tempfile
@@ -420,19 +427,26 @@ def main_trainloop(batch_size: int = 32, steps: int = 30):
         dt = (time.perf_counter() - t0) / steps
 
         t_y = cfg.data.max_mel_len
-        print(json.dumps({
-            "metric": "trainloop_steps_per_s",
-            "value": round(1 / dt, 3),
-            "unit": f"steps/s_e2e_batch{batch_size}",
-            "vs_baseline": None,
-            "detail": {"loader": trainer.loader_kind,
-                       "step_time_s": round(dt, 4),
-                       "mel_frames_per_s": round(batch_size * t_y / dt, 1),
-                       "batch": batch_size,
-                       "loss": float(metrics["loss/all"])},
-        }))
+        return {"loader": trainer.loader_kind,
+                "step_time_s": round(dt, 4),
+                "steps_per_s": round(1 / dt, 3),
+                "mel_frames_per_s": round(batch_size * t_y / dt, 1),
+                "batch": batch_size,
+                "loss": float(metrics["loss/all"])}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main_trainloop(batch_size: int = 32, steps: int = 30):
+    """CLI wrapper for the Trainer-loop probe (VERDICT r3 #6)."""
+    r = _trainloop_probe(batch_size, steps)
+    print(json.dumps({
+        "metric": "trainloop_steps_per_s",
+        "value": r["steps_per_s"],
+        "unit": f"steps/s_e2e_batch{batch_size}",
+        "vs_baseline": None,
+        "detail": r,
+    }))
 
 
 def main_ab_remat(batch_size: int = 32):

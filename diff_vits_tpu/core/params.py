@@ -4,8 +4,10 @@ At small serving batch the sampler is HBM-bound on *weights*: every one of
 the ~31 UniPC denoise calls re-reads the full UNet parameter set from HBM
 (the activations are tiny by comparison). Holding the parameters in
 bfloat16 halves those bytes; measured on a v5e chip this cuts the batch-1
-30-step synthesize from 13.2 ms to 11.5 ms device time (~13%) with mel
-output statistically unchanged (std 0.6270 vs 0.6276 on the bench input).
+30-step synthesize from 12.8 ms to 11.8 ms device time (~8%; both sides
+re-measured back-to-back via `bench.py infer 1 [fp32] notrain`,
+run-to-run spread ~±0.5 ms) with mel output statistically unchanged
+(std 0.6270 vs 0.6276 on the bench input).
 
 The reference has no analogue (it serves fp32 torch modules,
 tts_infer.py:144-147); this is a TPU-serving optimization. Training keeps

@@ -72,16 +72,25 @@ def test_remat_policies_identical_step():
                            jax.device_get(new_state["params"]))
     base_loss, base_params = results["none"]
     assert np.isfinite(base_loss)
+    lr = 1e-4  # TrainConfig.train_lr default
     for policy in ("dots", "full"):
         loss, params = results[policy]
         assert abs(loss - base_loss) < 1e-4 * max(abs(base_loss), 1.0), \
             (policy, loss, base_loss)
+        # Adam's first step moves every component by ~±lr (zero-initialized
+        # second moment makes the update sign(g)*lr); remat's float
+        # reassociation can flip the sign of noise-level gradients — on
+        # bias vectors whose true gradient is ~0, nearly every element is
+        # flip-prone. The principled invariant is a 2*lr band per element
+        # (measured: 'full' is bit-exact vs 'none'; 'dots' peaks at
+        # 1.7e-4 on attention-key biases, whose gradient is provably zero
+        # under softmax).
         flat_b = jax.tree_util.tree_leaves(base_params)
         flat_p = jax.tree_util.tree_leaves(params)
         for a, b in zip(flat_b, flat_p):
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32),
-                                       rtol=2e-4, atol=2e-5)
+                                       rtol=0, atol=2.5 * lr)
 
 
 def test_remat_unknown_policy_raises():
