@@ -599,11 +599,13 @@ def main_mfu(batches=(8, 32, 64, 128)):
         b, _, ty = str(spec).partition("x")
         b, t_y = int(b), int(ty) if ty else t_y0
         batch = make_batch(b, t_y)
-        # fresh param copy per config: the donated step consumes its input
-        # buffers, and `params` must survive for the next sweep entry
+        # fresh param/key copies per config: the donated step consumes its
+        # input buffers, and `params`/`key` must survive for the next sweep
+        # entry (a shared `key` donated by the previous row leaves a
+        # deleted buffer -> INVALID_ARGUMENT on the next one)
         p = jax.tree_util.tree_map(jnp.copy, params)
         state = {"params": p, "opt_state": tx.init(p),
-                 "step": jnp.asarray(0, jnp.int32), "rng": key}
+                 "step": jnp.asarray(0, jnp.int32), "rng": jnp.copy(key)}
         # donated, matching the production Trainer step
         step_fn = jax.jit(make_train_step(model, tx, cfg),
                           donate_argnums=(0,))
