@@ -14,15 +14,23 @@ single-utterance, one process per call). TPU-first serving instead:
   (docs/DESIGN.md "Serving-time specialization");
 * the whole bucket batch rides one `synthesize` call: ~31 UNet calls for
   30-step UniPC regardless of batch size, so per-utterance cost drops
-  nearly linearly until the chip saturates (measured 324x -> ~520x
-  real-time from batch 1 -> 8 on v5e).
+  nearly linearly until the chip saturates (measured 362x -> ~520x
+  real-time from batch 1 -> 8 on v5e, docs/bench/serving_r04.txt);
+* **mel-length buckets**: a cheap duration-only pass first predicts each
+  utterance's frame count and assigns the smallest bucket that holds it
+  (default max_mel_len x {1,2,4}), so long utterances get a bigger
+  static shape instead of truncating — the reference generates
+  unbounded ceil(sum w) frames (model3.py:842-847);
+* optional `--vocoder_ckpt` decodes each bucket batch through the Vocos
+  port and writes per-utterance wavs (model3.py:1195-1203).
 
 Manifest: one utterance per line, tab-separated:
     utt_id <TAB> text <TAB> language(ZH|EN|JA) <TAB> refer_wav_path
 
 Usage:
   python -m diff_vits_tpu.infer.serve --manifest utts.tsv \
-      -c config.json -m logs/tts/<run>/model-<step>.ckpt --batch_size 8
+      -c config.json -m logs/tts/<run>/model-<step>.ckpt --batch_size 8 \
+      [--mel_buckets 400,800,1600] [--vocoder_ckpt vocos.bin]
 """
 from __future__ import annotations
 
@@ -211,11 +219,12 @@ class BatchSynthesizer:
             for off in range(0, len(group), self.batch_size):
                 chunk = group[off:off + self.batch_size]
                 args = self._batch_arrays(chunk, t_bucket)
+                # fold_in data must fit uint32: big (text, mel) bucket
+                # pairs overflow the raw product (601*131+800)*100003
+                fold = ((t_bucket * 131 + m_bucket) * 100003 + off) % (2**31)
                 mel, out_lengths = self._runs[m_bucket](
                     self.params, *args,
-                    key=jax.random.fold_in(
-                        jax.random.PRNGKey(seed),
-                        (t_bucket * 131 + m_bucket) * 100003 + off))
+                    key=jax.random.fold_in(jax.random.PRNGKey(seed), fold))
                 wav = None
                 if self.vocoder is not None:
                     # batched decode at the bucket's static shape; trimmed
