@@ -93,6 +93,40 @@ def test_remat_policies_identical_step():
                                        rtol=0, atol=2.5 * lr)
 
 
+@pytest.mark.slow  # one train-step XLA compile
+def test_gradient_accumulation_step():
+    """The scan-based accumulation path (production single-chip config,
+    train.gradient_accumulate_every=4 measured 1.29x vs monolithic b=32):
+    batches carry a leading accum axis; metrics come back as micro-means;
+    one optimizer update per outer step."""
+    cfg = _tiny("none")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train,
+                                       gradient_accumulate_every=2))
+    model = DiffVits(cfg, n_vocab=len(symbols))
+    tx = make_optimizer(cfg)
+    flat = _batch()
+    accum_batch = {k: jnp.stack([v, v]) for k, v in flat.items()}
+    key = jax.random.PRNGKey(0)
+    params = model.init(
+        {"params": key, "dropout": key}, flat["text"],
+        flat["text_lengths"], flat["spec"], flat["spec_lengths"],
+        flat["refer"], flat["refer_lengths"], flat["tone"],
+        flat["language"], rng=key)["params"]
+    state = {"params": params, "opt_state": tx.init(params),
+             "step": jnp.asarray(0, jnp.int32), "rng": key}
+    step_fn = jax.jit(make_train_step(model, tx, cfg))
+    new_state, metrics = step_fn(state, accum_batch)
+    assert np.isfinite(float(metrics["loss/all"]))
+    assert int(new_state["step"]) == 1
+    # params moved exactly once (Adam step-1 update is +-lr per element)
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: np.abs(np.asarray(a, np.float32)
+                            - np.asarray(b, np.float32)).max(),
+        params, new_state["params"])
+    assert max(jax.tree_util.tree_leaves(deltas)) <= 1.01e-4
+
+
 def test_remat_unknown_policy_raises():
     cfg = _tiny("banana")
     model = DiffVits(cfg, n_vocab=len(symbols))
