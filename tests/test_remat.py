@@ -50,47 +50,52 @@ def _batch():
     }
 
 
-@pytest.mark.slow  # three full train-step XLA compiles
-def test_remat_policies_identical_step():
+@pytest.mark.slow  # three loss+grad XLA compiles
+def test_remat_policies_identical_gradients():
+    """Remat must not change the math: compare RAW gradients across
+    policies with a tight per-leaf tolerance (ADVICE r4 — the previous
+    post-Adam param check was nearly vacuous: Adam's first step moves
+    every element by at most ±lr whatever the gradient). Float
+    reassociation under remat legitimately perturbs near-zero gradients
+    (e.g. attention-key biases, provably zero under softmax), so the
+    tolerance is scaled per leaf by that leaf's gradient magnitude."""
+    from diff_vits_tpu.train.trainer import make_loss_fn
+
     batch = _batch()
     key = jax.random.PRNGKey(0)
-    results = {}
+    grads, losses = {}, {}
     for policy in ("none", "dots", "full"):
         cfg = _tiny(policy)
         model = DiffVits(cfg, n_vocab=len(symbols))
-        tx = make_optimizer(cfg)
         params = model.init(
             {"params": key, "dropout": key}, batch["text"],
             batch["text_lengths"], batch["spec"], batch["spec_lengths"],
             batch["refer"], batch["refer_lengths"], batch["tone"],
             batch["language"], rng=key)["params"]
-        state = {"params": params, "opt_state": tx.init(params),
-                 "step": jnp.asarray(0, jnp.int32), "rng": key}
-        step_fn = jax.jit(make_train_step(model, tx, cfg))
-        new_state, metrics = step_fn(state, batch)
-        results[policy] = (float(metrics["loss/all"]),
-                           jax.device_get(new_state["params"]))
-    base_loss, base_params = results["none"]
-    assert np.isfinite(base_loss)
-    lr = 1e-4  # TrainConfig.train_lr default
+        grad_fn = jax.jit(jax.value_and_grad(make_loss_fn(model, cfg),
+                                             has_aux=True))
+        (loss, _), g = grad_fn(params, batch,
+                               jax.random.fold_in(key, 0), 0.01)
+        losses[policy] = float(loss)
+        grads[policy] = jax.device_get(g)
+    assert np.isfinite(losses["none"])
+    base_leaves, treedef = jax.tree_util.tree_flatten(grads["none"])
+    # atol scaled by the GLOBAL gradient magnitude: leaves whose true
+    # gradient is zero (attention-key biases under softmax) hold pure
+    # rounding noise (~1e-8) that reassociation freely permutes — a
+    # per-leaf scale would demand bit-exactness of that noise, while
+    # elements this far below the gradient scale cannot affect training
+    g_scale = max(float(np.abs(np.asarray(l, np.float32)).max())
+                  for l in base_leaves)
+    assert g_scale > 1e-3  # the batch produces real gradients
     for policy in ("dots", "full"):
-        loss, params = results[policy]
-        assert abs(loss - base_loss) < 1e-4 * max(abs(base_loss), 1.0), \
-            (policy, loss, base_loss)
-        # Adam's first step moves every component by ~±lr (zero-initialized
-        # second moment makes the update sign(g)*lr); remat's float
-        # reassociation can flip the sign of noise-level gradients — on
-        # bias vectors whose true gradient is ~0, nearly every element is
-        # flip-prone. The principled invariant is a 2*lr band per element
-        # (measured: 'full' is bit-exact vs 'none'; 'dots' peaks at
-        # 1.7e-4 on attention-key biases, whose gradient is provably zero
-        # under softmax).
-        flat_b = jax.tree_util.tree_leaves(base_params)
-        flat_p = jax.tree_util.tree_leaves(params)
-        for a, b in zip(flat_b, flat_p):
+        assert losses[policy] == pytest.approx(losses["none"], rel=1e-5)
+        leaves = treedef.flatten_up_to(grads[policy])
+        for a, b in zip(base_leaves, leaves):
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32),
-                                       rtol=0, atol=2.5 * lr)
+                                       rtol=1e-4, atol=1e-5 * g_scale,
+                                       err_msg=policy)
 
 
 @pytest.mark.slow  # one train-step XLA compile
