@@ -217,13 +217,60 @@ def _abs_to_rel(x: jax.Array) -> jax.Array:
 def _get_relative_embeddings(emb: jax.Array, length: int, window_size: int):
     """Slice/pad the learned rel-pos table to 2*length-1 entries.
 
-    Parity: attentions.py:240.
+    Parity: attentions.py:240. Kept as the oracle for the banded
+    formulation below (tests/test_aux_layers.py); the production path uses
+    ``_get_band_embeddings`` + ``_band_to_abs``/``_abs_to_band`` instead,
+    which never materialize the mostly-zero [.., 2L-1, ..] layout.
     """
     pad_length = max(length - (window_size + 1), 0)
     slice_start = max((window_size + 1) - length, 0)
     if pad_length > 0:
         emb = jnp.pad(emb, ((0, 0), (pad_length, pad_length), (0, 0)))
     return emb[:, slice_start:slice_start + 2 * length - 1]
+
+
+def _get_band_embeddings(emb: jax.Array, length: int, window_size: int):
+    """The nonzero center of ``_get_relative_embeddings``: [g, 2w'+1, d]
+    with w' = min(window_size, length-1).
+
+    The reference zero-pads its (2*window+1)-entry table to 2L-1 relative
+    positions (attentions.py:240) and then contracts q against ALL of
+    them — at the production text length (L=601, window=4) that computes
+    601x1201 logits of which only the 9 diagonal bands are nonzero, and
+    the skew reshapes shuffle 185 MB per layer (measured 29% of the b=32
+    train step in data formatting, docs/bench/trace_b32_r05.txt). The
+    banded path is bit-equivalent in exact arithmetic: every dropped term
+    is q . 0."""
+    w_eff = min(window_size, length - 1)
+    start = window_size - w_eff
+    return emb[:, start:start + 2 * w_eff + 1]
+
+
+def _band_to_abs(band: jax.Array) -> jax.Array:
+    """[B, H, L, 2w+1] banded rel logits -> [B, H, L, L] absolute scores,
+    where band[..., t, j] is the logit for key position s = t + j - w.
+
+    Same skew trick as ``_rel_to_abs`` applied at band width: pad rows to
+    L+w+1, flatten, drop the leading w, and re-chunk at stride L+w — every
+    in-band value lands at [t, t+j-w] and every out-of-band slot reads a
+    pad zero. Touches O(L*(L+w)) elements instead of O(L*2L)."""
+    b, h, l, W = band.shape
+    w = (W - 1) // 2
+    band = jnp.pad(band, ((0, 0), (0, 0), (0, 0), (0, l + w + 1 - W)))
+    flat = band.reshape(b, h, l * (l + w + 1))
+    flat = jax.lax.slice_in_dim(flat, w, w + l * (l + w), axis=2)
+    return flat.reshape(b, h, l, l + w)[:, :, :, :l]
+
+
+def _abs_to_band(x: jax.Array, w: int) -> jax.Array:
+    """[B, H, L, L] absolute weights -> [B, H, L, 2w+1] band
+    (j = s - t + w): the inverse skew of ``_band_to_abs``, equivalent to
+    ``_abs_to_rel`` followed by keeping the +-w diagonals."""
+    b, h, l, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, w)))
+    flat = x.reshape(b, h, l * (l + w))
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (w, l - w)))
+    return flat.reshape(b, h, l, l + w + 1)[:, :, :, :2 * w + 1]
 
 
 class MultiHeadAttention(nn.Module):
@@ -313,15 +360,15 @@ class MultiHeadAttention(nn.Module):
                 "emb_rel_v",
                 nn.initializers.normal(rel_stddev),
                 (n_heads_rel, self.window_size * 2 + 1, k_channels))
-            key_rel = _get_relative_embeddings(emb_rel_k, t_s, self.window_size)
+            key_band = _get_band_embeddings(emb_rel_k, t_s, self.window_size)
             # shared heads: one table broadcast over h; per-head tables
             # (heads_share=False) must match head h to table h — summing
             # over a general 'g' axis would mix all heads' embeddings
             rel_eq = ("bhtd,gmd->bhtm" if self.heads_share
                       else "bhtd,hmd->bhtm")
-            rel_logits = jnp.einsum(rel_eq, qh / math.sqrt(k_channels),
-                                    key_rel.astype(self.dtype))
-            scores = scores + _rel_to_abs(rel_logits)
+            band_logits = jnp.einsum(rel_eq, qh / math.sqrt(k_channels),
+                                     key_band.astype(self.dtype))
+            scores = scores + _band_to_abs(band_logits)
 
         if self.proximal_bias:
             r = jnp.arange(t_s, dtype=jnp.float32)
@@ -342,11 +389,13 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("bhts,bhsd->bhtd", p_attn, vh)
 
         if self.window_size is not None:
-            rel_weights = _abs_to_rel(p_attn)
-            value_rel = _get_relative_embeddings(emb_rel_v, t_s, self.window_size)
+            w_eff = min(self.window_size, t_s - 1)
+            band_weights = _abs_to_band(p_attn, w_eff)
+            value_band = _get_band_embeddings(emb_rel_v, t_s,
+                                              self.window_size)
             out = out + jnp.einsum(
                 "bhtm,gmd->bhtd" if self.heads_share else "bhtm,hmd->bhtd",
-                rel_weights, value_rel.astype(self.dtype))
+                band_weights, value_band.astype(self.dtype))
 
         out = out.transpose(0, 2, 1, 3).reshape(b, t_t, self.channels)
         return nn.Dense(self.out_channels, dtype=self.dtype, name="conv_o")(out)
