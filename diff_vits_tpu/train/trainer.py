@@ -214,8 +214,12 @@ class Trainer:
         self.state = {"params": params, "opt_state": opt_state,
                       "step": jnp.asarray(0, jnp.int32), "rng": key}
         if cfg.train.use_ema:
+            # jnp.array(copy=True), NOT astype: astype(float32) on fp32
+            # params is a no-op returning the SAME buffer, and a state
+            # whose ema_params alias params crashes the donated step with
+            # "Attempt to donate the same buffer twice" at execute time
             self.state["ema_params"] = jax.tree_util.tree_map(
-                lambda p: p.astype(jnp.float32), params)
+                lambda p: jnp.array(p, jnp.float32, copy=True), params)
 
         train_step = make_train_step(self.model, self.tx, cfg)
         repl = mesh_lib.replicated_sharding(self.mesh)
@@ -316,8 +320,10 @@ class Trainer:
                     jax.device_get(self.state["params"]),
                     saved["ema_params"])
             else:
+                # copy, not astype: aliased ema/params buffers break the
+                # donated step (see __init__)
                 new_state["ema_params"] = jax.tree_util.tree_map(
-                    lambda p: p.astype(jnp.float32), params)
+                    lambda p: jnp.array(p, jnp.float32, copy=True), params)
         self.state = jax.device_put(
             new_state, mesh_lib.state_sharding_rules(self.mesh, new_state))
 
@@ -538,13 +544,26 @@ class Trainer:
             jax.random.PRNGKey(self.cfg.train.seed + 2),
             dev_batch["spec"].shape, jnp.float32)
         T = self.cfg.train.timesteps
+        # RAW params are the primary eval subject (the reference evals the
+        # training model, model3.py:1417): with ema_decay=0.9999 the EMA
+        # tree is still ~95% random init after 500 steps, which made the
+        # first recommended-config smoke read as 'no progress'
         out = {}
+        per_t = []
         for f in t_fracs:
             t_val = jnp.asarray(int(f * T), jnp.int32)
-            out[f"eval/diff_t{f:g}"] = float(self._eval_loss_fn(
-                self.state.get("ema_params", self.state["params"]),
-                dev_batch, t_val, noise))
-        out["eval/diff_fixed_t"] = float(np.mean(list(out.values())))
+            v = float(self._eval_loss_fn(
+                self.state["params"], dev_batch, t_val, noise))
+            out[f"eval/diff_t{f:g}"] = v
+            per_t.append(v)
+        out["eval/diff_fixed_t"] = float(np.mean(per_t))
+        if "ema_params" in self.state:
+            # one summary row for the EMA tree so its warm-up is visible
+            ema_vals = [float(self._eval_loss_fn(
+                self.state["ema_params"], dev_batch,
+                jnp.asarray(int(f * T), jnp.int32), noise))
+                for f in t_fracs]
+            out["eval/ema_diff_fixed_t"] = float(np.mean(ema_vals))
         return out
 
     def eval_sample(self, step: int, writer=None, sampling_steps: int = 30):
@@ -564,8 +583,11 @@ class Trainer:
             self._eval_fn = jax.jit(functools.partial(
                 synthesize, self.model, sampling_steps=sampling_steps,
                 max_len=self.cfg.data.max_mel_len))
+        # raw params, not EMA: the sample must reflect the training model
+        # (the slow-decay EMA tree lags it by thousands of steps; its
+        # fixed-t loss is tracked separately as eval/ema_diff_fixed_t)
         mel, lengths = self._eval_fn(
-            {"params": self.state.get("ema_params", self.state["params"])},
+            {"params": self.state["params"]},
             jnp.asarray(batch["text"]), jnp.asarray(batch["text_lengths"]),
             jnp.asarray(batch["refer"]), jnp.asarray(batch["refer_lengths"]),
             jnp.asarray(batch["tone"]), jnp.asarray(batch["language"]),
